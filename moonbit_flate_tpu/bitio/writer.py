@@ -29,7 +29,9 @@ def pack_bits(values: np.ndarray, nbits: np.ndarray, bit_offset: int = 0) -> tup
         return np.zeros(0, dtype=np.uint8), bit_offset
     offsets = bit_offset + np.concatenate(([0], np.cumsum(nbits)[:-1]))
     total_bits = int(bit_offset + nbits.sum())
-    nwords = (total_bits + 63) // 64 + 1
+    # A zero-width unit may sit exactly at offset == total_bits, so size
+    # for word index (total_bits >> 6) + 1.
+    nwords = (total_bits >> 6) + 2
     words = np.zeros(nwords, dtype=np.uint64)
     word_idx = (offsets >> 6).astype(np.int64)
     shift = (offsets & 63).astype(np.uint64)
