@@ -1,0 +1,307 @@
+"""The jit-compiled segment encoder: bytes in, DEFLATE bitstream out.
+
+One ``encode_segment`` call compresses a whole segment (NB blocks of
+65535 bytes) on-device with no host round-trips:
+
+  match find -> greedy commit -> per-block histograms -> in-graph
+  package-merge Huffman -> codegen RLE headers -> per-block
+  dynamic-vs-stored policy (a tiny NB-step scan carrying bit alignment)
+  -> prefix-sum + scatter bit packing -> one contiguous bitstream.
+
+Design properties (SURVEY.md §7):
+
+- Blocks are 65535 bytes (max_store_block_size, deflate-fast.mbt:46) so
+  the stored fallback always fits and block token groups align with byte
+  ranges (matches are clipped at block boundaries; the in-segment sort
+  still finds cross-block candidates, which the reference cannot).
+- The per-block policy picks min(true dynamic size, stored size) — a
+  strictly better rule than the reference's heuristics (SURVEY §2.9.2),
+  keeping output at-or-below reference sizes.
+- Every segment ends byte-aligned (an empty stored block is appended
+  in-graph only when the segment would end mid-byte), so segments
+  compress independently and concatenate bytewise — this is what makes
+  the multi-chip data-parallel layer a pure gather (SURVEY §5.7/5.8).
+- The stream stays resumable/standard: any DEFLATE decoder accepts it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..formats import constants as C
+from . import tables as T
+from .header import SEQ_LEN, codegen_emissions
+from .huffman_jax import build_codes
+from .matcher import find_matches, greedy_commit
+
+BLOCK = C.MAX_STORE_BLOCK_SIZE          # 65535
+PAD = 320                               # matcher gather slack
+HDR_UNITS = 4 + 19 + 2 * SEQ_LEN        # 655 header unit slots per block
+UNITS_PER_POS = 4
+EOB_UNITS = 1
+
+
+def _block_units(nb: int) -> int:
+    return HDR_UNITS + UNITS_PER_POS * BLOCK + EOB_UNITS
+
+
+def pack_units(values: jnp.ndarray, widths: jnp.ndarray, n_words: int):
+    """LSB-first bit packing: scatter units (<=16 bits each) into u32 words.
+
+    The XLA twin of bitio.writer.pack_bits: exclusive prefix sum of widths
+    gives bit offsets; each unit contributes to at most two words via
+    shifted adds (bits are disjoint, so add == or).
+    """
+    widths = widths.astype(jnp.uint32)
+    v = values.astype(jnp.uint32) & ((jnp.uint32(1) << widths) - jnp.uint32(1))
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32), jnp.cumsum(widths)[:-1]]
+    )
+    total = offsets[-1] + widths[-1]
+    w_idx = (offsets >> 5).astype(jnp.int32)
+    sh = offsets & jnp.uint32(31)
+    lo = v << sh
+    hi = (v >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
+    words = jnp.zeros(n_words, jnp.uint32)
+    words = words.at[w_idx].add(lo, mode="drop")
+    words = words.at[w_idx + 1].add(hi, mode="drop")
+    return words, total.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def encode_segment(data_padded: jnp.ndarray, n: jnp.ndarray, nb: int):
+    """Compress one segment of up to nb*65535 bytes.
+
+    data_padded: uint8[nb*BLOCK + PAD] (zero padded past n)
+    n: int32 valid byte count
+    Returns (words uint32[W], total_bits int32).
+    """
+    S = nb * BLOCK
+    assert data_padded.shape[0] == S + PAD
+    pos = jnp.arange(S, dtype=jnp.int32)
+    blk = pos // BLOCK
+    data = data_padded[:S].astype(jnp.int32)
+
+    # ---- stage 1: matching ------------------------------------------------
+    mlen, dist = find_matches(data_padded, n)
+    # clip matches at block boundaries so token groups == byte ranges
+    block_end = (blk + 1) * BLOCK
+    mlen = jnp.minimum(mlen, block_end - pos)
+    mlen = jnp.where(mlen >= C.MIN_MATCH_LENGTH, mlen, 0)
+    committed = greedy_commit(mlen, n)
+    is_match = committed & (mlen > 0)
+
+    xlen = jnp.where(is_match, mlen - 3, 0)
+    xoff = jnp.where(is_match, dist - 1, 0)
+    lc = T.LENGTH_CODES[jnp.clip(xlen, 0, 255)]
+    dc = T.offset_code(xoff)
+    sym = jnp.where(is_match, 257 + lc, data)
+
+    # per-block byte counts
+    n_b = jnp.clip(n - jnp.arange(nb) * BLOCK, 0, BLOCK)
+    live_b = n_b > 0
+
+    # ---- stage 2: histograms ---------------------------------------------
+    DUMP_L = nb * 286
+    lit_idx = jnp.where(committed, blk * 286 + sym, DUMP_L)
+    lit_freq = (
+        jnp.zeros(DUMP_L + 1, jnp.int32)
+        .at[lit_idx]
+        .add(1)[:DUMP_L]
+        .reshape(nb, 286)
+    )
+    lit_freq = lit_freq.at[:, C.END_BLOCK_MARKER].add(live_b.astype(jnp.int32))
+
+    DUMP_O = nb * 30
+    off_idx = jnp.where(is_match, blk * 30 + dc, DUMP_O)
+    off_freq = (
+        jnp.zeros(DUMP_O + 1, jnp.int32)
+        .at[off_idx]
+        .add(1)[:DUMP_O]
+        .reshape(nb, 30)
+    )
+
+    sym_range_l = jnp.arange(286, dtype=jnp.int32)
+    nl_b = 1 + jnp.max(
+        jnp.where(lit_freq > 0, sym_range_l[None, :], -1), axis=1
+    )
+    sym_range_o = jnp.arange(30, dtype=jnp.int32)
+    no_b = 1 + jnp.max(
+        jnp.where(off_freq > 0, sym_range_o[None, :], -1), axis=1
+    )
+    # no matches at all: keep the offset tree encodable
+    # (huffman-bit-writer.mbt:584-589)
+    need_fake = live_b & (no_b == 0)
+    off_freq = off_freq.at[:, 0].add(need_fake.astype(jnp.int32))
+    no_b = jnp.maximum(no_b, jnp.where(live_b, 1, 0))
+
+    # ---- stage 3: Huffman tables -----------------------------------------
+    lit_codes, lit_lens = build_codes(lit_freq, C.LIT_LEN_MAX_BITS)
+    off_codes, off_lens = build_codes(off_freq, C.LIT_LEN_MAX_BITS)
+
+    # ---- stage 4: codegen RLE + header sizes -----------------------------
+    jpos = jnp.arange(SEQ_LEN, dtype=jnp.int32)
+    seq = jnp.where(
+        jpos[None, :] < nl_b[:, None],
+        jnp.take_along_axis(
+            lit_lens, jnp.clip(jpos, 0, 285)[None, :].repeat(nb, 0), axis=1
+        ),
+        jnp.take_along_axis(
+            off_lens,
+            jnp.clip(jpos[None, :] - nl_b[:, None], 0, 29),
+            axis=1,
+        ),
+    )
+    cg_sym, cg_pv, cg_pw, cg_freq = jax.vmap(codegen_emissions)(
+        seq, nl_b + no_b
+    )
+    cg_codes, cg_lens = build_codes(cg_freq, C.CODEGEN_MAX_BITS)
+
+    order_lens = jnp.take_along_axis(
+        cg_freq, T.CODEGEN_ORDER[None, :].repeat(nb, 0), axis=1
+    )
+    idx19 = jnp.arange(19, dtype=jnp.int32)
+    ncg_b = jnp.maximum(
+        4, 1 + jnp.max(jnp.where(order_lens > 0, idx19[None, :], -1), axis=1)
+    )
+
+    # true dynamic bit size per block
+    extra_l = jnp.sum(lit_freq[:, 257:286] * T.LENGTH_EXTRA_BITS[None, :], axis=1)
+    extra_o = jnp.sum(off_freq * T.OFFSET_EXTRA_BITS[None, :], axis=1)
+    cg_hdr = (
+        jnp.sum(cg_freq * cg_lens, axis=1)
+        + cg_freq[:, 16] * 2 + cg_freq[:, 17] * 3 + cg_freq[:, 18] * 7
+    )
+    dyn_bits = (
+        17 + 3 * ncg_b + cg_hdr
+        + jnp.sum(lit_freq * lit_lens, axis=1)
+        + jnp.sum(off_freq * off_lens, axis=1)
+        + extra_l + extra_o
+    )
+
+    # ---- stage 5: per-block policy (dynamic vs stored) -------------------
+    def policy_step(bitpos8, x):
+        dyn, nbytes, live = x
+        pad = (8 - ((bitpos8 + 3) % 8)) % 8
+        stored = 3 + pad + 32 + 8 * nbytes
+        use_stored = live & (stored < dyn)
+        chosen = jnp.where(live, jnp.where(use_stored, stored, dyn), 0)
+        return (bitpos8 + chosen) % 8, (use_stored, pad)
+
+    _, (use_stored, pad_b) = jax.lax.scan(
+        policy_step, jnp.int32(0), (dyn_bits, n_b, live_b)
+    )
+
+    # ---- stage 6: unit assembly ------------------------------------------
+    U = _block_units(nb)
+    vals = jnp.zeros((nb, U), jnp.int32)
+    wids = jnp.zeros((nb, U), jnp.int32)
+
+    live_i = live_b.astype(jnp.int32)
+    st = use_stored
+    dyn_sel = live_b & ~st
+
+    # header slot 0: 3-bit block header (BFINAL=0 inside segments)
+    vals = vals.at[:, 0].set(jnp.where(st, 0, 4))
+    wids = wids.at[:, 0].set(3 * live_i)
+    # slots 1..3: dynamic HLIT/HDIST/HCLEN or stored pad/LEN/~LEN
+    vals = vals.at[:, 1].set(jnp.where(st, 0, nl_b - 257))
+    wids = wids.at[:, 1].set(jnp.where(st, pad_b, 5) * live_i)
+    vals = vals.at[:, 2].set(jnp.where(st, n_b, no_b - 1))
+    wids = wids.at[:, 2].set(jnp.where(st, 16, 5) * live_i)
+    vals = vals.at[:, 3].set(jnp.where(st, (~n_b) & 0xFFFF, ncg_b - 4))
+    wids = wids.at[:, 3].set(jnp.where(st, 16, 4) * live_i)
+    # slots 4..22: 3-bit codegen code lengths in the magic order
+    cg_order_lens = jnp.take_along_axis(
+        cg_lens, T.CODEGEN_ORDER[None, :].repeat(nb, 0), axis=1
+    )
+    vals = vals.at[:, 4:23].set(jnp.where(dyn_sel[:, None], cg_order_lens, 0))
+    wids = wids.at[:, 4:23].set(
+        jnp.where(
+            dyn_sel[:, None] & (idx19[None, :] < ncg_b[:, None]), 3, 0
+        )
+    )
+    # slots 23..23+632: codegen symbol stream (code unit + payload unit)
+    cg_sym_c = jnp.clip(cg_sym, 0, 18)
+    cg_code_u = jnp.take_along_axis(cg_codes, cg_sym_c, axis=1)
+    cg_len_u = jnp.take_along_axis(cg_lens, cg_sym_c, axis=1)
+    emit = dyn_sel[:, None] & (cg_sym >= 0)
+    vals = vals.at[:, 23 : 23 + 2 * SEQ_LEN : 2].set(jnp.where(emit, cg_code_u, 0))
+    wids = wids.at[:, 23 : 23 + 2 * SEQ_LEN : 2].set(jnp.where(emit, cg_len_u, 0))
+    vals = vals.at[:, 24 : 23 + 2 * SEQ_LEN : 2].set(jnp.where(emit, cg_pv, 0))
+    wids = wids.at[:, 24 : 23 + 2 * SEQ_LEN : 2].set(jnp.where(emit, cg_pw, 0))
+
+    # token zone: 4 units per input position
+    q = pos - blk * BLOCK                       # position within block
+    tok_base = HDR_UNITS + UNITS_PER_POS * q    # unit index within block
+    blk_st = st[blk]
+    blk_dyn = dyn_sel[blk]
+    flat_lit_codes = lit_codes.reshape(-1)
+    flat_lit_lens = lit_lens.reshape(-1)
+    flat_off_codes = off_codes.reshape(-1)
+    flat_off_lens = off_lens.reshape(-1)
+
+    in_range = pos < n
+    u0_dyn = committed & blk_dyn
+    u0_val = jnp.where(
+        blk_st, data, jnp.where(u0_dyn, flat_lit_codes[blk * 286 + sym], 0)
+    )
+    u0_wid = jnp.where(
+        blk_st & in_range,
+        8,
+        jnp.where(u0_dyn, flat_lit_lens[blk * 286 + sym], 0),
+    )
+    m_dyn = is_match & blk_dyn
+    leb = T.LENGTH_EXTRA_BITS[lc]
+    u1_val = jnp.where(m_dyn, xlen - (T.LENGTH_BASE[lc] - 3), 0)
+    u1_wid = jnp.where(m_dyn, leb, 0)
+    u2_val = jnp.where(m_dyn, flat_off_codes[blk * 30 + dc], 0)
+    u2_wid = jnp.where(m_dyn, flat_off_lens[blk * 30 + dc], 0)
+    oeb = T.OFFSET_EXTRA_BITS[dc]
+    u3_val = jnp.where(m_dyn, xoff - (T.OFFSET_BASE[dc] - 1), 0)
+    u3_wid = jnp.where(m_dyn, oeb, 0)
+
+    flat_vals = vals.reshape(-1)
+    flat_wids = wids.reshape(-1)
+    gbase = blk * U + tok_base
+    flat_vals = flat_vals.at[gbase].set(u0_val)
+    flat_wids = flat_wids.at[gbase].set(u0_wid)
+    flat_vals = flat_vals.at[gbase + 1].set(u1_val)
+    flat_wids = flat_wids.at[gbase + 1].set(u1_wid)
+    flat_vals = flat_vals.at[gbase + 2].set(u2_val)
+    flat_wids = flat_wids.at[gbase + 2].set(u2_wid)
+    flat_vals = flat_vals.at[gbase + 3].set(u3_val)
+    flat_wids = flat_wids.at[gbase + 3].set(u3_wid)
+
+    # EOB unit per block
+    eob_idx = jnp.arange(nb) * U + (U - 1)
+    eob_code = lit_codes[:, C.END_BLOCK_MARKER]
+    eob_len = lit_lens[:, C.END_BLOCK_MARKER]
+    flat_vals = flat_vals.at[eob_idx].set(jnp.where(dyn_sel, eob_code, 0))
+    flat_wids = flat_wids.at[eob_idx].set(jnp.where(dyn_sel, eob_len, 0))
+
+    # ---- stage 7: segment trailer (byte alignment) -----------------------
+    # If the segment ends mid-byte, append an empty stored block whose
+    # header pad realigns the stream.
+    body_bits = jnp.sum(flat_wids)
+    misaligned = (body_bits % 8) != 0
+    t_pad = (8 - ((body_bits + 3) % 8)) % 8
+    trailer_vals = jnp.stack(
+        [jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0xFFFF)]
+    )
+    trailer_wids = jnp.where(
+        misaligned,
+        jnp.stack([jnp.int32(3), t_pad, jnp.int32(16), jnp.int32(16)]),
+        jnp.zeros(4, jnp.int32),
+    )
+    all_vals = jnp.concatenate([flat_vals, trailer_vals])
+    all_wids = jnp.concatenate([flat_wids, trailer_wids])
+
+    # ---- stage 8: pack ---------------------------------------------------
+    max_bits = 8 * S + nb * 64 + 64
+    n_words = max_bits // 32 + 2
+    words, total_bits = pack_units(all_vals, all_wids, n_words)
+    return words, total_bits
