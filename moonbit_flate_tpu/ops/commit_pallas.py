@@ -1,0 +1,76 @@
+"""Greedy-commit as a Pallas kernel: sequential token walk on the scalar core.
+
+The greedy tokenization (walk next(i) = i + max(len_i, 1) from 0) is
+inherently sequential but touches only O(#tokens) scalars.  The XLA
+pointer-doubling formulation costs ~20 full-array gather+scatter rounds
+(~350 ms/MB on v5e); this kernel instead walks the match-length array on
+the TPU scalar core while Pallas pipelines chunks through SMEM (the only
+memory with dynamic scalar indexing).  The committed mask is emitted as
+packed bits (one i32 word per 32 positions) and unpacked with vector ops
+outside the kernel; the walk cursor persists across sequential grid
+steps in SMEM scratch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import constants as C
+
+CHUNK = 8192  # positions per grid step (32 KB of SMEM for the lengths)
+
+
+def _kernel(mlen_ref, out_ref, cursor_ref):
+    t = pl.program_id(0)
+    start = t * CHUNK
+
+    @pl.when(t == 0)
+    def _():
+        cursor_ref[0] = 0
+
+    def zero_body(w, carry):
+        out_ref[w] = 0
+        return carry
+
+    jax.lax.fori_loop(0, 1024, zero_body, 0)
+
+    def cond(cur):
+        return cur < start + CHUNK
+
+    def body(cur):
+        local = cur - start
+        m = mlen_ref[local]
+        w = local >> 5
+        out_ref[w] = out_ref[w] | (1 << (local & 31))
+        return cur + jnp.where(m >= C.MIN_MATCH_LENGTH, m, 1)
+
+    cursor_ref[0] = jax.lax.while_loop(
+        cond, body, jnp.maximum(cursor_ref[0], start)
+    )
+
+
+def greedy_commit(mlen: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """bool[S] mask of committed token start positions (greedy parse)."""
+    S = mlen.shape[0]
+    S_pad = ((S + CHUNK - 1) // CHUNK) * CHUNK
+    n_chunks = S_pad // CHUNK
+    mlen_p = jnp.zeros(S_pad, jnp.int32).at[:S].set(mlen)
+    # output rows are padded to 1024 words per chunk to satisfy the XLA
+    # SMEM layout (1-D i32 tiling is T(1024))
+    bits = pl.pallas_call(
+        _kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((CHUNK,), lambda t: (t,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1024,), lambda t: (t,), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * 1024,), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )(mlen_p)
+    bits = bits.reshape(n_chunks, 1024)[:, : CHUNK // 32].reshape(-1)
+    word = bits[jnp.arange(S, dtype=jnp.int32) >> 5]
+    committed = (word >> (jnp.arange(S, dtype=jnp.int32) & 31)) & 1
+    return (committed > 0) & (jnp.arange(S, dtype=jnp.int32) < n)

@@ -69,20 +69,25 @@ def huffman_lengths(freqs: jnp.ndarray, max_bits: int) -> jnp.ndarray:
     n_rounds_eff = jnp.minimum(max_bits, n_live - 1) - 1
 
     def level_step(weights, t):
-        pkg_w = weights[0::2] + weights[1::2]    # [A]
-        all_w = jnp.minimum(jnp.concatenate([pkg_w, w_sorted]), _INF)
-        # packages first on ties: key = weight*2 + is_leaf  (< 2^24)
-        is_leaf = jnp.concatenate(
-            [jnp.zeros(A, jnp.int32), jnp.ones(A, jnp.int32)]
+        # Both inputs are sorted (packages of a sorted list are sorted),
+        # so the level list is a sorted MERGE, not a sort: compute ranks
+        # with searchsorted.  Packages win weight ties (side choices).
+        pkg_w = jnp.minimum(weights[0::2] + weights[1::2], _INF)  # [A]
+        r_pkg = jnp.arange(A, dtype=jnp.int32) + jnp.searchsorted(
+            w_sorted, pkg_w, side="left"
+        ).astype(jnp.int32)
+        r_leaf = jnp.arange(A, dtype=jnp.int32) + jnp.searchsorted(
+            pkg_w, w_sorted, side="right"
+        ).astype(jnp.int32)
+        merged = (
+            jnp.zeros(2 * A, jnp.int32).at[r_pkg].set(pkg_w).at[r_leaf].set(w_sorted)
         )
-        key = all_w * 2 + is_leaf
-        idx = jnp.argsort(key, stable=True)[: 2 * A]
+        # leaf count among the first k merged items, k = 0..2A
+        leaf_pref = jnp.searchsorted(
+            r_leaf, jnp.arange(2 * A + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
         active = t < n_rounds_eff
-        new_w = jnp.where(active, all_w[idx], weights)
-        # inclusive prefix leaf counts of this level's sorted list
-        leaf_pref = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(is_leaf[idx])]
-        )  # [2A + 1]
+        new_w = jnp.where(active, merged, weights)
         return new_w, (leaf_pref, active)
 
     init_w = jnp.concatenate([w_sorted, jnp.full(A, _INF, jnp.int32)])

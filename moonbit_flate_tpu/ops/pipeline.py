@@ -3,10 +3,10 @@
 One ``encode_segment`` call compresses a whole segment (NB blocks of
 65535 bytes) on-device with no host round-trips:
 
-  match find -> greedy commit -> per-block histograms -> in-graph
-  package-merge Huffman -> codegen RLE headers -> per-block
-  dynamic-vs-stored policy (a tiny NB-step scan carrying bit alignment)
-  -> prefix-sum + scatter bit packing -> one contiguous bitstream.
+  match find -> greedy commit (Pallas scalar walk) -> per-block
+  histograms -> in-graph package-merge Huffman -> codegen RLE headers ->
+  per-block dynamic-vs-stored policy (a tiny NB-step scan carrying bit
+  alignment) -> prefix-sum bit packing -> one contiguous bitstream.
 
 Design properties (SURVEY.md §7):
 
@@ -21,7 +21,10 @@ Design properties (SURVEY.md §7):
   in-graph only when the segment would end mid-byte), so segments
   compress independently and concatenate bytewise — this is what makes
   the multi-chip data-parallel layer a pure gather (SURVEY §5.7/5.8).
-- The stream stays resumable/standard: any DEFLATE decoder accepts it.
+- TPU-shaped data movement: the emission stream is laid out so unit
+  arrays assemble with reshapes and concatenations only (zero scatters);
+  each token spends at most two pack units (lit/len code fused with its
+  extra bits, distance code fused with its extra bits).
 """
 
 from __future__ import annotations
@@ -39,21 +42,17 @@ from .matcher import find_matches, greedy_commit
 
 BLOCK = C.MAX_STORE_BLOCK_SIZE          # 65535
 PAD = 320                               # matcher gather slack
-HDR_UNITS = 4 + 19 + 2 * SEQ_LEN        # 655 header unit slots per block
-UNITS_PER_POS = 4
-EOB_UNITS = 1
-
-
-def _block_units(nb: int) -> int:
-    return HDR_UNITS + UNITS_PER_POS * BLOCK + EOB_UNITS
+HDR_UNITS = 4 + 19 + SEQ_LEN            # 339 header unit slots per block
+UNITS_PER_POS = 2
 
 
 def pack_units(values: jnp.ndarray, widths: jnp.ndarray, n_words: int):
-    """LSB-first bit packing: scatter units (<=16 bits each) into u32 words.
+    """LSB-first bit packing: scatter units (<=28 bits each) into u32 words.
 
     The XLA twin of bitio.writer.pack_bits: exclusive prefix sum of widths
     gives bit offsets; each unit contributes to at most two words via
-    shifted adds (bits are disjoint, so add == or).
+    shifted adds (bits are disjoint, so add == or).  Offsets are monotone,
+    so the scatter indices are sorted — declared to XLA.
     """
     widths = widths.astype(jnp.uint32)
     v = values.astype(jnp.uint32) & ((jnp.uint32(1) << widths) - jnp.uint32(1))
@@ -66,8 +65,8 @@ def pack_units(values: jnp.ndarray, widths: jnp.ndarray, n_words: int):
     lo = v << sh
     hi = (v >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
     words = jnp.zeros(n_words, jnp.uint32)
-    words = words.at[w_idx].add(lo, mode="drop")
-    words = words.at[w_idx + 1].add(hi, mode="drop")
+    words = words.at[w_idx].add(lo, mode="drop", indices_are_sorted=True)
+    words = words.at[w_idx + 1].add(hi, mode="drop", indices_are_sorted=True)
     return words, total.astype(jnp.int32)
 
 
@@ -160,12 +159,12 @@ def encode_segment(data_padded: jnp.ndarray, n: jnp.ndarray, nb: int):
     )
     cg_codes, cg_lens = build_codes(cg_freq, C.CODEGEN_MAX_BITS)
 
-    order_lens = jnp.take_along_axis(
+    order_freq = jnp.take_along_axis(
         cg_freq, T.CODEGEN_ORDER[None, :].repeat(nb, 0), axis=1
     )
     idx19 = jnp.arange(19, dtype=jnp.int32)
     ncg_b = jnp.maximum(
-        4, 1 + jnp.max(jnp.where(order_lens > 0, idx19[None, :], -1), axis=1)
+        4, 1 + jnp.max(jnp.where(order_freq > 0, idx19[None, :], -1), axis=1)
     )
 
     # true dynamic bit size per block
@@ -195,48 +194,43 @@ def encode_segment(data_padded: jnp.ndarray, n: jnp.ndarray, nb: int):
         policy_step, jnp.int32(0), (dyn_bits, n_b, live_b)
     )
 
-    # ---- stage 6: unit assembly ------------------------------------------
-    U = _block_units(nb)
-    vals = jnp.zeros((nb, U), jnp.int32)
-    wids = jnp.zeros((nb, U), jnp.int32)
-
+    # ---- stage 6: unit assembly (reshape/concat only — no scatters) ------
     live_i = live_b.astype(jnp.int32)
     st = use_stored
     dyn_sel = live_b & ~st
 
-    # header slot 0: 3-bit block header (BFINAL=0 inside segments)
-    vals = vals.at[:, 0].set(jnp.where(st, 0, 4))
-    wids = wids.at[:, 0].set(3 * live_i)
-    # slots 1..3: dynamic HLIT/HDIST/HCLEN or stored pad/LEN/~LEN
-    vals = vals.at[:, 1].set(jnp.where(st, 0, nl_b - 257))
-    wids = wids.at[:, 1].set(jnp.where(st, pad_b, 5) * live_i)
-    vals = vals.at[:, 2].set(jnp.where(st, n_b, no_b - 1))
-    wids = wids.at[:, 2].set(jnp.where(st, 16, 5) * live_i)
-    vals = vals.at[:, 3].set(jnp.where(st, (~n_b) & 0xFFFF, ncg_b - 4))
-    wids = wids.at[:, 3].set(jnp.where(st, 16, 4) * live_i)
-    # slots 4..22: 3-bit codegen code lengths in the magic order
+    # header zone: [nb, HDR_UNITS]
+    h0v = jnp.where(st, 0, 4)
+    h0w = 3 * live_i
+    h1v = jnp.where(st, 0, nl_b - 257)
+    h1w = jnp.where(st, pad_b, 5) * live_i
+    h2v = jnp.where(st, n_b, no_b - 1)
+    h2w = jnp.where(st, 16, 5) * live_i
+    h3v = jnp.where(st, (~n_b) & 0xFFFF, ncg_b - 4)
+    h3w = jnp.where(st, 16, 4) * live_i
+    head4_v = jnp.stack([h0v, h1v, h2v, h3v], axis=1)
+    head4_w = jnp.stack([h0w, h1w, h2w, h3w], axis=1)
+
     cg_order_lens = jnp.take_along_axis(
         cg_lens, T.CODEGEN_ORDER[None, :].repeat(nb, 0), axis=1
     )
-    vals = vals.at[:, 4:23].set(jnp.where(dyn_sel[:, None], cg_order_lens, 0))
-    wids = wids.at[:, 4:23].set(
-        jnp.where(
-            dyn_sel[:, None] & (idx19[None, :] < ncg_b[:, None]), 3, 0
-        )
+    cl_v = jnp.where(dyn_sel[:, None], cg_order_lens, 0)
+    cl_w = jnp.where(
+        dyn_sel[:, None] & (idx19[None, :] < ncg_b[:, None]), 3, 0
     )
-    # slots 23..23+632: codegen symbol stream (code unit + payload unit)
+
+    # codegen stream: one fused unit per emission (code | payload << len)
     cg_sym_c = jnp.clip(cg_sym, 0, 18)
     cg_code_u = jnp.take_along_axis(cg_codes, cg_sym_c, axis=1)
     cg_len_u = jnp.take_along_axis(cg_lens, cg_sym_c, axis=1)
     emit = dyn_sel[:, None] & (cg_sym >= 0)
-    vals = vals.at[:, 23 : 23 + 2 * SEQ_LEN : 2].set(jnp.where(emit, cg_code_u, 0))
-    wids = wids.at[:, 23 : 23 + 2 * SEQ_LEN : 2].set(jnp.where(emit, cg_len_u, 0))
-    vals = vals.at[:, 24 : 23 + 2 * SEQ_LEN : 2].set(jnp.where(emit, cg_pv, 0))
-    wids = wids.at[:, 24 : 23 + 2 * SEQ_LEN : 2].set(jnp.where(emit, cg_pw, 0))
+    cgu_v = jnp.where(emit, cg_code_u | (cg_pv << cg_len_u), 0)
+    cgu_w = jnp.where(emit, cg_len_u + cg_pw, 0)
 
-    # token zone: 4 units per input position
-    q = pos - blk * BLOCK                       # position within block
-    tok_base = HDR_UNITS + UNITS_PER_POS * q    # unit index within block
+    hdr_vals = jnp.concatenate([head4_v, cl_v, cgu_v], axis=1)
+    hdr_wids = jnp.concatenate([head4_w, cl_w, cgu_w], axis=1)
+
+    # token zone: [S, 2] in position order == block-major order
     blk_st = st[blk]
     blk_dyn = dyn_sel[blk]
     flat_lit_codes = lit_codes.reshape(-1)
@@ -246,42 +240,35 @@ def encode_segment(data_padded: jnp.ndarray, n: jnp.ndarray, nb: int):
 
     in_range = pos < n
     u0_dyn = committed & blk_dyn
+    lit_code_g = flat_lit_codes[blk * 286 + sym]
+    lit_len_g = flat_lit_lens[blk * 286 + sym]
+    leb = jnp.where(is_match, T.LENGTH_EXTRA_BITS[lc], 0)
+    len_ev = jnp.where(is_match, xlen - (T.LENGTH_BASE[lc] - 3), 0)
     u0_val = jnp.where(
-        blk_st, data, jnp.where(u0_dyn, flat_lit_codes[blk * 286 + sym], 0)
+        blk_st, data,
+        jnp.where(u0_dyn, lit_code_g | (len_ev << lit_len_g), 0),
     )
     u0_wid = jnp.where(
-        blk_st & in_range,
-        8,
-        jnp.where(u0_dyn, flat_lit_lens[blk * 286 + sym], 0),
+        blk_st & in_range, 8, jnp.where(u0_dyn, lit_len_g + leb, 0)
     )
-    m_dyn = is_match & blk_dyn
-    leb = T.LENGTH_EXTRA_BITS[lc]
-    u1_val = jnp.where(m_dyn, xlen - (T.LENGTH_BASE[lc] - 3), 0)
-    u1_wid = jnp.where(m_dyn, leb, 0)
-    u2_val = jnp.where(m_dyn, flat_off_codes[blk * 30 + dc], 0)
-    u2_wid = jnp.where(m_dyn, flat_off_lens[blk * 30 + dc], 0)
-    oeb = T.OFFSET_EXTRA_BITS[dc]
-    u3_val = jnp.where(m_dyn, xoff - (T.OFFSET_BASE[dc] - 1), 0)
-    u3_wid = jnp.where(m_dyn, oeb, 0)
 
-    flat_vals = vals.reshape(-1)
-    flat_wids = wids.reshape(-1)
-    gbase = blk * U + tok_base
-    flat_vals = flat_vals.at[gbase].set(u0_val)
-    flat_wids = flat_wids.at[gbase].set(u0_wid)
-    flat_vals = flat_vals.at[gbase + 1].set(u1_val)
-    flat_wids = flat_wids.at[gbase + 1].set(u1_wid)
-    flat_vals = flat_vals.at[gbase + 2].set(u2_val)
-    flat_wids = flat_wids.at[gbase + 2].set(u2_wid)
-    flat_vals = flat_vals.at[gbase + 3].set(u3_val)
-    flat_wids = flat_wids.at[gbase + 3].set(u3_wid)
+    m_dyn = is_match & blk_dyn
+    off_code_g = flat_off_codes[blk * 30 + dc]
+    off_len_g = flat_off_lens[blk * 30 + dc]
+    oeb = T.OFFSET_EXTRA_BITS[dc]
+    off_ev = xoff - (T.OFFSET_BASE[dc] - 1)
+    u1_val = jnp.where(m_dyn, off_code_g | (off_ev << off_len_g), 0)
+    u1_wid = jnp.where(m_dyn, off_len_g + oeb, 0)
+
+    tok_vals = jnp.stack([u0_val, u1_val], axis=1).reshape(nb, UNITS_PER_POS * BLOCK)
+    tok_wids = jnp.stack([u0_wid, u1_wid], axis=1).reshape(nb, UNITS_PER_POS * BLOCK)
 
     # EOB unit per block
-    eob_idx = jnp.arange(nb) * U + (U - 1)
-    eob_code = lit_codes[:, C.END_BLOCK_MARKER]
-    eob_len = lit_lens[:, C.END_BLOCK_MARKER]
-    flat_vals = flat_vals.at[eob_idx].set(jnp.where(dyn_sel, eob_code, 0))
-    flat_wids = flat_wids.at[eob_idx].set(jnp.where(dyn_sel, eob_len, 0))
+    eob_v = jnp.where(dyn_sel, lit_codes[:, C.END_BLOCK_MARKER], 0)[:, None]
+    eob_w = jnp.where(dyn_sel, lit_lens[:, C.END_BLOCK_MARKER], 0)[:, None]
+
+    flat_vals = jnp.concatenate([hdr_vals, tok_vals, eob_v], axis=1).reshape(-1)
+    flat_wids = jnp.concatenate([hdr_wids, tok_wids, eob_w], axis=1).reshape(-1)
 
     # ---- stage 7: segment trailer (byte alignment) -----------------------
     # If the segment ends mid-byte, append an empty stored block whose
