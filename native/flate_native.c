@@ -165,8 +165,6 @@ static void hgenerate(const int32_t *freq, int n_alpha, int max_bits, HC *codes)
     static int32_t leaf_pref[16][MAXI + 1];
     int m = n; /* current list length */
     for (int i = 0; i < n; i++) w[i] = list[i].freq;
-    int mlens[16];
-    mlens[1] = n;
     for (int lvl = 2; lvl <= L; lvl++) {
         int npkg = m / 2;
         for (int i = 0; i < npkg; i++) pkg[i] = w[2 * i] + w[2 * i + 1];
@@ -181,7 +179,6 @@ static void hgenerate(const int32_t *freq, int n_alpha, int max_bits, HC *codes)
         }
         m = k;
         memcpy(w, merged, (size_t)m * sizeof(int64_t));
-        mlens[lvl] = m;
     }
     /* backward: s_L = 2n-2; x_l = leaves in first s_l; s_{l-1}=2(s_l-x_l) */
     int x[16];
@@ -786,4 +783,140 @@ done:
 
 long mf_inflate(const uint8_t *in, long n, uint8_t *out, long cap) {
     return mf_inflate_dict(in, n, out, cap, NULL, 0);
+}
+
+/* ---------------- token scan (stage A for the TPU decode path) -------- */
+/* Decode the symbol stream WITHOUT materializing output bytes; emit one
+ * packed i32 per token:
+ *   literal: byte value (0..255)
+ *   match:   (1<<31) | ((len-3) << 15) | (dist-1)
+ * The LZ77 window resolution (stage B) then runs data-parallel on the
+ * TPU (inflate/tpu_inflate.py).  Returns token count, or negative error.
+ * History tracking is positional only (distance validation), so this
+ * scan is window-free and fast. */
+long mf_scan_tokens(const uint8_t *in, long n, int32_t *toks, long cap,
+                    long dict_len) {
+    init_tables();
+    BitR r = { in, n, 0, 0, 0 };
+    HDec h1 = {0}, h2 = {0};
+    static HDec hfixed2; static int hfixed2_ready = 0;
+    if (!hfixed2_ready) {
+        uint8_t fl[288];
+        for (int i = 0; i < 288; i++)
+            fl[i] = i < 144 ? 8 : i < 256 ? 9 : i < 280 ? 7 : 8;
+        hdec_init(&hfixed2, fl, 288);
+        hfixed2_ready = 1;
+    }
+    if (dict_len > WINDOW_SIZE) dict_len = WINDOW_SIZE;
+    long ntok = 0;
+    long outpos = 0;
+    int final_flag = 0;
+    long err = -3;
+    while (!final_flag) {
+        if (!br_need(&r, 3)) { err = -4; goto done; }
+        final_flag = (int)(r.b & 1);
+        int typ = (int)((r.b >> 1) & 3);
+        r.b >>= 3; r.nb -= 3;
+        if (typ == 0) {
+            r.b = 0; r.nb = 0;
+            if (r.pos + 4 > r.n) { err = -4; goto done; }
+            int len = r.in[r.pos] | (r.in[r.pos + 1] << 8);
+            int nlen = r.in[r.pos + 2] | (r.in[r.pos + 3] << 8);
+            r.pos += 4;
+            if ((nlen & 0xffff) != (~len & 0xffff)) goto done;
+            if (r.pos + len > r.n) { err = -4; goto done; }
+            if (ntok + len > cap) { err = -5; goto done; }
+            for (int k = 0; k < len; k++) toks[ntok++] = r.in[r.pos + k];
+            outpos += len; r.pos += len;
+            continue;
+        }
+        const HDec *hl; const HDec *hd = NULL;
+        if (typ == 1) hl = &hfixed2;
+        else if (typ == 2) {
+            if (!br_need(&r, 14)) { err = -4; goto done; }
+            int nlit = (int)(r.b & 0x1f) + 257; r.b >>= 5;
+            int ndist = (int)(r.b & 0x1f) + 1; r.b >>= 5;
+            int nclen = (int)(r.b & 0xf) + 4; r.b >>= 4;
+            r.nb -= 14;
+            if (nlit > MAX_NUM_LIT || ndist > MAX_NUM_DIST) goto done;
+            uint8_t codebits[NUM_CODES]; memset(codebits, 0, sizeof codebits);
+            for (int i = 0; i < nclen; i++) {
+                if (!br_need(&r, 3)) { err = -4; goto done; }
+                codebits[codegen_order[i]] = (uint8_t)(r.b & 7);
+                r.b >>= 3; r.nb -= 3;
+            }
+            if (!hdec_init(&h1, codebits, NUM_CODES)) goto done;
+            uint8_t lens[MAX_NUM_LIT + MAX_NUM_DIST];
+            int i = 0, tot = nlit + ndist;
+            while (i < tot) {
+                int x = huff_sym(&r, &h1);
+                if (x == -1) { err = -4; goto done; }
+                if (x < 0) goto done;
+                if (x < 16) { lens[i++] = (uint8_t)x; continue; }
+                int rep, nb2, bval;
+                if (x == 16) {
+                    if (i == 0) goto done;
+                    rep = 3; nb2 = 2; bval = lens[i - 1];
+                } else if (x == 17) { rep = 3; nb2 = 3; bval = 0; }
+                else { rep = 11; nb2 = 7; bval = 0; }
+                if (!br_need(&r, (unsigned)nb2)) { err = -4; goto done; }
+                rep += (int)(r.b & ((1u << nb2) - 1));
+                r.b >>= nb2; r.nb -= (unsigned)nb2;
+                if (i + rep > tot) goto done;
+                while (rep--) lens[i++] = (uint8_t)bval;
+            }
+            if (!hdec_init(&h1, lens, nlit)) goto done;
+            if (!hdec_init(&h2, lens + nlit, ndist)) goto done;
+            if (h1.min < lens[EOB]) h1.min = lens[EOB];
+            hl = &h1; hd = &h2;
+        } else goto done;
+        for (;;) {
+            int v = huff_sym(&r, hl);
+            if (v == -1) { err = -4; goto done; }
+            if (v < 0) goto done;
+            if (v < 256) {
+                if (ntok >= cap) { err = -5; goto done; }
+                toks[ntok++] = v;
+                outpos++;
+                continue;
+            }
+            if (v == EOB) break;
+            if (v >= MAX_NUM_LIT) goto done;
+            int lc = v - 257;
+            int length = length_base[lc];
+            if (length_extra[lc]) {
+                if (!br_need(&r, (unsigned)length_extra[lc])) { err = -4; goto done; }
+                length += (int)(r.b & ((1u << length_extra[lc]) - 1));
+                r.b >>= length_extra[lc]; r.nb -= (unsigned)length_extra[lc];
+            }
+            int dist;
+            if (hd == NULL) {
+                if (!br_need(&r, 5)) { err = -4; goto done; }
+                dist = rev_tab[(r.b & 0x1f) << 11] & 0xff;
+                r.b >>= 5; r.nb -= 5;
+            } else {
+                dist = huff_sym(&r, hd);
+                if (dist == -1) { err = -4; goto done; }
+                if (dist < 0) goto done;
+            }
+            if (dist >= MAX_NUM_DIST) goto done;
+            int db = offset_base[dist];
+            if (offset_extra[dist]) {
+                if (!br_need(&r, (unsigned)offset_extra[dist])) { err = -4; goto done; }
+                db += (int)(r.b & ((1u << offset_extra[dist]) - 1));
+                r.b >>= offset_extra[dist]; r.nb -= (unsigned)offset_extra[dist];
+            }
+            dist = db;
+            long hist = outpos + dict_len;
+            if (dist > (hist > WINDOW_SIZE ? WINDOW_SIZE : hist)) goto done;
+            if (ntok >= cap) { err = -5; goto done; }
+            toks[ntok++] = (int32_t)(0x80000000u | ((uint32_t)(length - 3) << 15)
+                                     | (uint32_t)(dist - 1));
+            outpos += length;
+        }
+    }
+    err = ntok;
+done:
+    free(h1.links); free(h2.links);
+    return err;
 }
