@@ -39,13 +39,11 @@ def compress(data: bytes, dictionary: bytes | None = None,
     if backend == "python":
         return _py_compress(data, dictionary)
     if backend == "tpu":
-        if dictionary:
-            raise NotImplementedError(
-                "TPU backend does not support writer dictionaries yet"
-            )
+        # Reader-style preset-dict semantics on the TPU path
+        # (SURVEY §2.9.4 — deliberately not the writer's prepend quirk).
         from .api.tpu import compress as tpu_compress
 
-        return tpu_compress(data)
+        return tpu_compress(data, dictionary=dictionary)
     raise ValueError(f"unknown backend {backend!r}")
 
 

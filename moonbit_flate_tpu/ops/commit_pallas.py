@@ -1,7 +1,7 @@
 """Greedy-commit as a Pallas kernel: sequential token walk on the scalar core.
 
-The greedy tokenization (walk next(i) = i + max(len_i, 1) from 0) is
-inherently sequential but touches only O(#tokens) scalars.  The XLA
+The greedy tokenization (walk next(i) = i + max(len_i, 1) from `start`)
+is inherently sequential but touches only O(#tokens) scalars.  The XLA
 pointer-doubling formulation costs ~20 full-array gather+scatter rounds
 (~350 ms/MB on v5e); this kernel instead walks the match-length array on
 the TPU scalar core while Pallas pipelines chunks through SMEM (the only
@@ -9,6 +9,9 @@ memory with dynamic scalar indexing).  The committed mask is emitted as
 packed bits (one i32 word per 32 positions) and unpacked with vector ops
 outside the kernel; the walk cursor persists across sequential grid
 steps in SMEM scratch.
+
+``start`` (the preset-dictionary / context boundary, SURVEY §5.7's halo)
+arrives as a scalar-prefetch argument.
 """
 
 from __future__ import annotations
@@ -23,13 +26,13 @@ from ..formats import constants as C
 CHUNK = 8192  # positions per grid step (32 KB of SMEM for the lengths)
 
 
-def _kernel(mlen_ref, out_ref, cursor_ref):
+def _kernel(start_ref, mlen_ref, out_ref, cursor_ref):
     t = pl.program_id(0)
-    start = t * CHUNK
+    tile_start = t * CHUNK
 
     @pl.when(t == 0)
     def _():
-        cursor_ref[0] = 0
+        cursor_ref[0] = start_ref[0]
 
     def zero_body(w, carry):
         out_ref[w] = 0
@@ -38,39 +41,49 @@ def _kernel(mlen_ref, out_ref, cursor_ref):
     jax.lax.fori_loop(0, 1024, zero_body, 0)
 
     def cond(cur):
-        return cur < start + CHUNK
+        return cur < tile_start + CHUNK
 
     def body(cur):
-        local = cur - start
+        local = cur - tile_start
         m = mlen_ref[local]
         w = local >> 5
         out_ref[w] = out_ref[w] | (1 << (local & 31))
         return cur + jnp.where(m >= C.MIN_MATCH_LENGTH, m, 1)
 
     cursor_ref[0] = jax.lax.while_loop(
-        cond, body, jnp.maximum(cursor_ref[0], start)
+        cond, body, jnp.maximum(cursor_ref[0], tile_start)
     )
 
 
-def greedy_commit(mlen: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
-    """bool[S] mask of committed token start positions (greedy parse)."""
+def greedy_commit(mlen: jnp.ndarray, n: jnp.ndarray,
+                  start: jnp.ndarray | int = 0) -> jnp.ndarray:
+    """bool[S] mask of committed token start positions (greedy parse
+    beginning at `start`; positions before it are context only)."""
     S = mlen.shape[0]
     S_pad = ((S + CHUNK - 1) // CHUNK) * CHUNK
     n_chunks = S_pad // CHUNK
     mlen_p = jnp.zeros(S_pad, jnp.int32).at[:S].set(mlen)
+    start_arr = jnp.asarray(start, jnp.int32).reshape(1)
     # output rows are padded to 1024 words per chunk to satisfy the XLA
     # SMEM layout (1-D i32 tiling is T(1024))
-    bits = pl.pallas_call(
-        _kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((CHUNK,), lambda t: (t,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((CHUNK,), lambda t, s: (t,), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1024,), lambda t: (t,), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((n_chunks * 1024,), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (1024,), lambda t, s: (t,), memory_space=pltpu.SMEM
+        ),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-    )(mlen_p)
+    )
+    bits = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_chunks * 1024,), jnp.int32),
+    )(start_arr, mlen_p)
     bits = bits.reshape(n_chunks, 1024)[:, : CHUNK // 32].reshape(-1)
-    word = bits[jnp.arange(S, dtype=jnp.int32) >> 5]
-    committed = (word >> (jnp.arange(S, dtype=jnp.int32) & 31)) & 1
-    return (committed > 0) & (jnp.arange(S, dtype=jnp.int32) < n)
+    pos = jnp.arange(S, dtype=jnp.int32)
+    word = bits[pos >> 5]
+    committed = (word >> (pos & 31)) & 1
+    return (committed > 0) & (pos < n) & (pos >= start_arr[0])

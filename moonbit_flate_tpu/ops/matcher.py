@@ -37,12 +37,14 @@ from ..formats import constants as C
 _PALLAS_COMMIT = None  # resolved lazily to avoid importing pallas on CPU
 
 
-def greedy_commit_xla(mlen: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+def greedy_commit_xla(mlen: jnp.ndarray, n: jnp.ndarray,
+                      start: jnp.ndarray | int = 0) -> jnp.ndarray:
     """Greedy tokenization via pointer doubling (O(log S) gather/scatter
     rounds).  Used on CPU; the TPU path uses the Pallas sequential walk
     (commit_pallas.py), which is ~50x cheaper there."""
     S = mlen.shape[0]
     pos = jnp.arange(S, dtype=jnp.int32)
+    start = jnp.asarray(start, jnp.int32)
     step = jnp.where(mlen >= C.MIN_MATCH_LENGTH, mlen, 1)
     nxt = jnp.where(pos < n, jnp.minimum(pos + step, S), S)
     nxt = jnp.concatenate([nxt, jnp.full(1, S, jnp.int32)])
@@ -55,20 +57,21 @@ def greedy_commit_xla(mlen: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
         jump = jump[jump]
         return visited, jump
 
-    visited0 = jnp.zeros(S + 1, jnp.int32).at[0].set(1)
+    visited0 = jnp.zeros(S + 1, jnp.int32).at[jnp.clip(start, 0, S)].set(1)
     visited, _ = jax.lax.fori_loop(0, n_rounds, round_step, (visited0, nxt))
-    return (visited[:S] > 0) & (pos < n)
+    return (visited[:S] > 0) & (pos < n) & (pos >= start)
 
 
-def greedy_commit(mlen: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+def greedy_commit(mlen: jnp.ndarray, n: jnp.ndarray,
+                  start: jnp.ndarray | int = 0) -> jnp.ndarray:
     global _PALLAS_COMMIT
     if jax.default_backend() == "tpu":
         if _PALLAS_COMMIT is None:
             from .commit_pallas import greedy_commit as _pc
 
             _PALLAS_COMMIT = _pc
-        return _PALLAS_COMMIT(mlen, n)
-    return greedy_commit_xla(mlen, n)
+        return _PALLAS_COMMIT(mlen, n, start)
+    return greedy_commit_xla(mlen, n, start)
 
 _PERIODS = 8          # always-tabled small periods (classic RLE)
 _NUM_PERIODS = 24     # total period tables incl. dynamic most-frequent

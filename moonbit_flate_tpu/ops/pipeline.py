@@ -70,27 +70,32 @@ def pack_units(values: jnp.ndarray, widths: jnp.ndarray, n_words: int):
     return words, total.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def encode_segment(data_padded: jnp.ndarray, n: jnp.ndarray, nb: int):
-    """Compress one segment of up to nb*65535 bytes.
+@partial(jax.jit, static_argnums=(3,))
+def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
+                       ctx: jnp.ndarray, nb: int):
+    """Compress one segment of up to nb*65535 payload bytes.
 
-    data_padded: uint8[nb*BLOCK + PAD] (zero padded past n)
-    n: int32 valid byte count
+    data_padded: uint8[nb*BLOCK + PAD] (zero padded past n).  The first
+    ``ctx`` bytes are *context only* (reader-style preset dictionary /
+    shard halo, SURVEY §2.9.4, §5.7): the matcher may reference them but
+    no tokens are emitted for them.
+    n: int32 valid byte count (context + payload)
     Returns (words uint32[W], total_bits int32).
     """
     S = nb * BLOCK
     assert data_padded.shape[0] == S + PAD
+    ctx = jnp.asarray(ctx, jnp.int32)
     pos = jnp.arange(S, dtype=jnp.int32)
-    blk = pos // BLOCK
+    blk = jnp.clip(pos - ctx, 0, S - 1) // BLOCK
     data = data_padded[:S].astype(jnp.int32)
 
     # ---- stage 1: matching ------------------------------------------------
     mlen, dist = find_matches(data_padded, n)
     # clip matches at block boundaries so token groups == byte ranges
-    block_end = (blk + 1) * BLOCK
+    block_end = ctx + (blk + 1) * BLOCK
     mlen = jnp.minimum(mlen, block_end - pos)
     mlen = jnp.where(mlen >= C.MIN_MATCH_LENGTH, mlen, 0)
-    committed = greedy_commit(mlen, n)
+    committed = greedy_commit(mlen, n, ctx)
     is_match = committed & (mlen > 0)
 
     xlen = jnp.where(is_match, mlen - 3, 0)
@@ -100,7 +105,7 @@ def encode_segment(data_padded: jnp.ndarray, n: jnp.ndarray, nb: int):
     sym = jnp.where(is_match, 257 + lc, data)
 
     # per-block byte counts
-    n_b = jnp.clip(n - jnp.arange(nb) * BLOCK, 0, BLOCK)
+    n_b = jnp.clip(n - ctx - jnp.arange(nb) * BLOCK, 0, BLOCK)
     live_b = n_b > 0
 
     # ---- stage 2: histograms ---------------------------------------------
@@ -238,7 +243,7 @@ def encode_segment(data_padded: jnp.ndarray, n: jnp.ndarray, nb: int):
     flat_off_codes = off_codes.reshape(-1)
     flat_off_lens = off_lens.reshape(-1)
 
-    in_range = pos < n
+    in_range = (pos >= ctx) & (pos < n)
     u0_dyn = committed & blk_dyn
     lit_code_g = flat_lit_codes[blk * 286 + sym]
     lit_len_g = flat_lit_lens[blk * 286 + sym]
@@ -292,3 +297,9 @@ def encode_segment(data_padded: jnp.ndarray, n: jnp.ndarray, nb: int):
     n_words = max_bits // 32 + 2
     words, total_bits = pack_units(all_vals, all_wids, n_words)
     return words, total_bits
+
+
+@partial(jax.jit, static_argnums=(2,))
+def encode_segment(data_padded: jnp.ndarray, n: jnp.ndarray, nb: int):
+    """Context-free segment encode (the common path)."""
+    return encode_segment_ctx(data_padded, n, jnp.int32(0), nb)
