@@ -143,8 +143,15 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
     no_b = jnp.maximum(no_b, jnp.where(live_b, 1, 0))
 
     # ---- stage 3: Huffman tables -----------------------------------------
-    lit_codes, lit_lens = build_codes(lit_freq, C.LIT_LEN_MAX_BITS)
-    off_codes, off_lens = build_codes(off_freq, C.LIT_LEN_MAX_BITS)
+    # one batched construction for both alphabets (dist padded to 286):
+    # halves the per-level scan overhead and the compile surface
+    both_freq = jnp.concatenate(
+        [lit_freq,
+         jnp.pad(off_freq, ((0, 0), (0, 286 - 30)))], axis=0
+    )
+    both_codes, both_lens = build_codes(both_freq, C.LIT_LEN_MAX_BITS)
+    lit_codes, lit_lens = both_codes[:nb], both_lens[:nb]
+    off_codes, off_lens = both_codes[nb:, :30], both_lens[nb:, :30]
 
     # ---- stage 4: codegen RLE + header sizes -----------------------------
     jpos = jnp.arange(SEQ_LEN, dtype=jnp.int32)
