@@ -83,7 +83,10 @@ def greedy_commit(mlen: jnp.ndarray, n: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n_chunks * 1024,), jnp.int32),
     )(start_arr, mlen_p)
     bits = bits.reshape(n_chunks, 1024)[:, : CHUNK // 32].reshape(-1)
+    # dense unpack: expand each word to its 32 positions with a broadcast
+    # shift (a [S/32, 32] vector op), never a per-position gather
+    committed = (
+        (bits[:, None] >> jnp.arange(32, dtype=jnp.int32)[None, :]) & 1
+    ).reshape(-1)[:S]
     pos = jnp.arange(S, dtype=jnp.int32)
-    word = bits[pos >> 5]
-    committed = (word >> (pos & 31)) & 1
     return (committed > 0) & (pos < n) & (pos >= start_arr[0])

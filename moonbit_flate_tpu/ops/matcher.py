@@ -3,23 +3,26 @@
 Reformulation of the reference's sequential hash-table scan
 (deflate-fast.mbt:123-270) as data-parallel stages with no sequential
 dependency over input positions, engineered around what the TPU does
-well (dense vector ops, sorts) and avoiding what it does badly (random
-per-element gathers):
+well (dense vector ops, multi-operand sorts) and avoiding what it does
+badly (serial per-element gathers/scatters — ~15 cycles each in XLA):
 
 1. *Candidates*: the nearest previous position holding the same 4 bytes,
-   from one stable sort of the 32-bit loads.  4-byte equality is exact
-   (the sort key IS the bytes — no hash collisions, unlike the
-   reference's direct-mapped 14-bit table).
-2. *Short extension*: bytes 4..7 via a single u32 gather + XOR
-   trailing-zero-byte count.
-3. *Small distances (<= 8)*: matches are periodic runs; exact lengths
-   come from per-period mismatch tables built with shifted compares and
-   one reverse cumulative-min scan — zero gathers.  This covers RLE
+   from one stable multi-operand carry-sort of the 32-bit loads
+   (jax.lax.sort carrying position + the next 8 bytes).  4-byte equality
+   is exact (the sort key IS the bytes — no hash collisions, unlike the
+   reference's direct-mapped 14-bit table).  Because the next 8 bytes
+   ride along as sort payloads, match lengths up to 12 are resolved by
+   comparing *adjacent sorted elements* — zero gathers.  A second
+   carry-sort (key = position) routes results back to position order —
+   replacing the scatter/inverse-permutation round trip.
+2. *Small distances / periodic runs (dist <= 258 when covered)*: exact
+   lengths from per-period mismatch tables built with shifted compares
+   and windowed suffix/prefix-min scans — zero gathers.  This covers RLE
    (dict-decoder.mbt:136-149 semantics) at full speed.
-4. *Long matches (dist > 8, >= 8 bytes)*: compacted candidate list
-   (bounded budget) extended 32 bytes/round in a while loop that exits
-   as soon as no candidate is alive.  Budget overflow degrades a match
-   to 8 bytes — valid output, negligible ratio cost.
+3. *Long matches (dist > periods, > 12 bytes)*: sort-compacted candidate
+   list (bounded budget) extended 32 bytes/round in a while loop that
+   exits as soon as no candidate is alive.  Budget overflow degrades a
+   match to 12 bytes — valid output, negligible ratio cost.
 
 Match admission mirrors the wire rules: distance <= 32768, length in
 [4, 258] (MIN_MATCH_LENGTH, deflate.mbt:20).  Cross-64KB-block matches
@@ -33,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..formats import constants as C
+from .dense import hist_rows
 
 _PALLAS_COMMIT = None  # resolved lazily to avoid importing pallas on CPU
 
@@ -41,7 +45,7 @@ def greedy_commit_xla(mlen: jnp.ndarray, n: jnp.ndarray,
                       start: jnp.ndarray | int = 0) -> jnp.ndarray:
     """Greedy tokenization via pointer doubling (O(log S) gather/scatter
     rounds).  Used on CPU; the TPU path uses the Pallas sequential walk
-    (commit_pallas.py), which is ~50x cheaper there."""
+    (commit_pallas.py), which is far cheaper there."""
     S = mlen.shape[0]
     pos = jnp.arange(S, dtype=jnp.int32)
     start = jnp.asarray(start, jnp.int32)
@@ -75,8 +79,9 @@ def greedy_commit(mlen: jnp.ndarray, n: jnp.ndarray,
 
 _PERIODS = 8          # always-tabled small periods (classic RLE)
 _NUM_PERIODS = 24     # total period tables incl. dynamic most-frequent
-_LONG_BUDGET_DIV = 4  # long-match compaction budget = S / this
+_LONG_BUDGET_DIV = 16  # long-match compaction budget = S / this
 _WORDS_PER_ROUND = 8  # 32 bytes per extension round
+_SORT_LEN = 12        # match length resolvable inside the carry-sort
 
 
 def _tz_bytes(x: jnp.ndarray) -> jnp.ndarray:
@@ -113,32 +118,40 @@ def find_matches(data: jnp.ndarray, n: jnp.ndarray):
     u32 = u32e[:S]
     pos = jnp.arange(S, dtype=jnp.int32)
 
-    # -- stage 1: nearest previous occurrence of the same u32 --------------
-    order = jnp.argsort(u32, stable=True)
-    sorted_vals = u32[order]
-    same_as_prev = jnp.concatenate(
-        [jnp.zeros(1, bool), sorted_vals[1:] == sorted_vals[:-1]]
+    # -- stage 1: nearest previous occurrence + 12-byte prefix, via two
+    #    carry-sorts (no scatters, no random gathers) ----------------------
+    w4 = u32e[4 : S + 4]
+    w8 = u32e[8 : S + 8]
+    skey, spos, sw4, sw8 = jax.lax.sort(
+        (u32, pos, w4, w8), dimension=0, is_stable=True, num_keys=1
     )
-    prev_pos = jnp.concatenate([jnp.zeros(1, jnp.int32), order[:-1]])
-    cand_sorted = jnp.where(same_as_prev, prev_pos, -1)
-    cand = jnp.zeros(S, jnp.int32).at[order].set(cand_sorted)
+    same_as_prev = jnp.concatenate(
+        [jnp.zeros(1, bool), skey[1:] == skey[:-1]]
+    )
+    prev_pos = jnp.concatenate([jnp.zeros(1, jnp.int32), spos[:-1]])
+    cand_s = jnp.where(same_as_prev, prev_pos, -1)
+    # lengths 4..12 from adjacent payload comparison, in sorted order
+    x4 = sw4 ^ jnp.concatenate([jnp.zeros(1, jnp.uint32), sw4[:-1]])
+    x8 = sw8 ^ jnp.concatenate([jnp.zeros(1, jnp.uint32), sw8[:-1]])
+    e4_s = _tz_bytes(x4)
+    e8_s = jnp.where(e4_s == 4, _tz_bytes(x8), 0)
+    ext_s = e4_s + e8_s                                   # 0..8
+    # route back to position order: one more carry-sort keyed by position
+    _, cand, ext = jax.lax.sort(
+        (spos, cand_s, ext_s), dimension=0, is_stable=True, num_keys=1
+    )
 
     dist = pos - cand
     ok = (
         (pos <= n - 4)
         & (cand >= 0)
-        & (cand <= n - 4)
         & (dist <= C.MAX_MATCH_OFFSET)
     )
-    candc = jnp.maximum(cand, 0)
+    # candidate tail safety: ext bytes past n are garbage; clamp later via
+    # the final min(mlen, n - pos).
+    mlen = jnp.where(ok, 4 + ext, 0)                      # 4.._SORT_LEN
 
-    # -- stage 2: bytes 4..7 in one gather ---------------------------------
-    a4 = u32e[4 : S + 4]
-    b4 = u32e[candc + 4]
-    e4 = _tz_bytes(a4 ^ b4)
-    mlen = jnp.where(ok, 4 + e4, 0)
-
-    # -- stage 3: periodic paths (exact, gather-free) ----------------------
+    # -- stage 2: periodic paths (exact, gather-free) ----------------------
     # A match whose distance d satisfies length >= d is a periodic run;
     # its exact length is (first j >= pos with data[j] != data[j-d]) - pos.
     # Static tables cover d <= 8 (classic RLE); on top of that, the most
@@ -149,15 +162,13 @@ def find_matches(data: jnp.ndarray, n: jnp.ndarray):
     is_valid_i = pos < n
     BIG = jnp.int32(S + 300)
 
-    extendable = ok & (e4 == 4)
+    extendable = ok & (mlen >= _SORT_LEN)
     small_long = extendable & (dist <= C.MAX_MATCH_LENGTH)
-    hist = (
-        jnp.zeros(C.MAX_MATCH_LENGTH + 1, jnp.int32)
-        .at[jnp.where(small_long, dist, 0)]
-        .add(1)
-        .at[0]
-        .set(0)
-    )
+    hist = hist_rows(
+        jnp.where(small_long, dist, C.MAX_MATCH_LENGTH + 1)[None, :],
+        C.MAX_MATCH_LENGTH + 1,
+    )[0]
+    hist = hist.at[0].set(0)
     # force periods 1..8 into the table, then the most frequent others
     hist = hist.at[1 : _PERIODS + 1].add(1 << 24)
     _, top_p = jax.lax.top_k(hist, _NUM_PERIODS)
@@ -200,18 +211,27 @@ def find_matches(data: jnp.ndarray, n: jnp.ndarray):
         sel = dist == top_p[k]
         mlen_per = jnp.where(sel, run_end[k] - pos, mlen_per)
         covered = covered | sel
-    # dist <= 8 candidates are always exact via the forced periods (the
-    # 4-byte sort guarantee implies length >= 4 >= period coverage).
-    per_ok = ok & covered & ((dist <= _PERIODS) | (e4 == 4))
+    # The mismatch table gives the *exact* match length against the
+    # distance-d candidate for any position (first j >= pos where
+    # data[j] != data[j-d]), so coverage alone gates it.
+    per_ok = ok & covered
     mlen = jnp.where(per_ok, jnp.maximum(mlen_per, mlen), mlen)
 
-    # -- stage 4: remaining long matches (gathered extension) --------------
+    # -- stage 3: remaining long matches (gathered extension) --------------
+    # Only candidates that matched the full 12 sort-resolved bytes and are
+    # not period-covered reach the gather path; budget is S/16 entries.
     K = S // _LONG_BUDGET_DIV
     long_mask = extendable & ~covered & (dist > _PERIODS)
-    lidx = jnp.nonzero(long_mask, size=K, fill_value=S)[0].astype(jnp.int32)
+    # sort-based compaction (valid positions first, ascending)
+    comp_key = jnp.where(long_mask, pos, BIG)
+    comp_key, comp_cand = jax.lax.sort(
+        (comp_key, jnp.maximum(cand, 0)), dimension=0, is_stable=True,
+        num_keys=1,
+    )
+    lidx = comp_key[:K]
     lvalid = lidx < S
     lpos = jnp.where(lvalid, lidx, 0)
-    lcand = candc[lpos]
+    lcand = comp_cand[:K]
     woffs = jnp.arange(_WORDS_PER_ROUND, dtype=jnp.int32) * 4
 
     def round_body(state):
@@ -240,7 +260,7 @@ def find_matches(data: jnp.ndarray, n: jnp.ndarray):
     def round_cond(state):
         return state[2]
 
-    cm0 = jnp.full(K, 8, jnp.int32)
+    cm0 = jnp.full(K, _SORT_LEN, jnp.int32)
     alive0 = lvalid
     cm, _, _ = jax.lax.while_loop(
         round_cond, round_body, (cm0, alive0, jnp.any(alive0))

@@ -21,10 +21,14 @@ Design properties (SURVEY.md §7):
   in-graph only when the segment would end mid-byte), so segments
   compress independently and concatenate bytewise — this is what makes
   the multi-chip data-parallel layer a pure gather (SURVEY §5.7/5.8).
-- TPU-shaped data movement: the emission stream is laid out so unit
-  arrays assemble with reshapes and concatenations only (zero scatters);
-  each token spends at most two pack units (lit/len code fused with its
-  extra bits, distance code fused with its extra bits).
+- TPU-shaped data movement: *zero serial gathers or scatters* between
+  match finding and the final pack.  Every table lookup and histogram is
+  a dense one-hot contraction (ops/dense.py — XLA's gather/scatter on
+  TPU cost ~15 cycles/element; the dense forms fuse into VPU reductions
+  and are 30-70x faster at these table sizes).  Token attributes are
+  computed in a block-aligned [nb, BLOCK] layout (the payload is rolled
+  left by the context length) so per-block code tables broadcast instead
+  of being gathered through a flattened index.
 """
 
 from __future__ import annotations
@@ -33,9 +37,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..formats import constants as C
 from . import tables as T
+from .dense import hist_rows, take1d, take1d_stack, take_rows, take_rows_stack
 from .header import SEQ_LEN, codegen_emissions
 from .huffman_jax import build_codes
 from .matcher import find_matches, greedy_commit
@@ -44,6 +50,8 @@ BLOCK = C.MAX_STORE_BLOCK_SIZE          # 65535
 PAD = 320                               # matcher gather slack
 HDR_UNITS = 4 + 19 + SEQ_LEN            # 339 header unit slots per block
 UNITS_PER_POS = 2
+
+_ORDER_NP = np.asarray(C.CODEGEN_ORDER, np.int32)  # static permutation
 
 
 def pack_units(values: jnp.ndarray, widths: jnp.ndarray, n_words: int):
@@ -86,13 +94,12 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
     assert data_padded.shape[0] == S + PAD
     ctx = jnp.asarray(ctx, jnp.int32)
     pos = jnp.arange(S, dtype=jnp.int32)
-    blk = jnp.clip(pos - ctx, 0, S - 1) // BLOCK
-    data = data_padded[:S].astype(jnp.int32)
+    blk_orig = jnp.clip(pos - ctx, 0, S - 1) // BLOCK
 
-    # ---- stage 1: matching ------------------------------------------------
+    # ---- stage 1: matching (position layout) ------------------------------
     mlen, dist = find_matches(data_padded, n)
     # clip matches at block boundaries so token groups == byte ranges
-    block_end = ctx + (blk + 1) * BLOCK
+    block_end = ctx + (blk_orig + 1) * BLOCK
     mlen = jnp.minimum(mlen, block_end - pos)
     mlen = jnp.where(mlen >= C.MIN_MATCH_LENGTH, mlen, 0)
     committed = greedy_commit(mlen, n, ctx)
@@ -100,33 +107,34 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
 
     xlen = jnp.where(is_match, mlen - 3, 0)
     xoff = jnp.where(is_match, dist - 1, 0)
-    lc = T.LENGTH_CODES[jnp.clip(xlen, 0, 255)]
+    lc = take1d(T.LENGTH_CODES, jnp.clip(xlen, 0, 255))
     dc = T.offset_code(xoff)
+    data = data_padded[:S].astype(jnp.int32)
     sym = jnp.where(is_match, 257 + lc, data)
+
+    # ---- roll to block-aligned payload layout [nb, BLOCK] ------------------
+    def blkify(a):
+        return jnp.roll(a, -ctx, 0).reshape(nb, BLOCK)
+
+    jpos_b = jnp.arange(BLOCK, dtype=jnp.int32)
+    valid = (jnp.arange(S, dtype=jnp.int32) < n - ctx).reshape(nb, BLOCK)
+    committed_b = blkify(committed) & valid
+    is_match_b = blkify(is_match) & valid
+    sym_b = blkify(sym)
+    lc_b = blkify(lc)
+    dc_b = blkify(dc)
+    xlen_b = blkify(xlen)
+    xoff_b = blkify(xoff)
+    data_b = blkify(data)
 
     # per-block byte counts
     n_b = jnp.clip(n - ctx - jnp.arange(nb) * BLOCK, 0, BLOCK)
     live_b = n_b > 0
 
-    # ---- stage 2: histograms ---------------------------------------------
-    DUMP_L = nb * 286
-    lit_idx = jnp.where(committed, blk * 286 + sym, DUMP_L)
-    lit_freq = (
-        jnp.zeros(DUMP_L + 1, jnp.int32)
-        .at[lit_idx]
-        .add(1)[:DUMP_L]
-        .reshape(nb, 286)
-    )
+    # ---- stage 2: histograms (dense one-hot) -------------------------------
+    lit_freq = hist_rows(jnp.where(committed_b, sym_b, 286), 286)
     lit_freq = lit_freq.at[:, C.END_BLOCK_MARKER].add(live_b.astype(jnp.int32))
-
-    DUMP_O = nb * 30
-    off_idx = jnp.where(is_match, blk * 30 + dc, DUMP_O)
-    off_freq = (
-        jnp.zeros(DUMP_O + 1, jnp.int32)
-        .at[off_idx]
-        .add(1)[:DUMP_O]
-        .reshape(nb, 30)
-    )
+    off_freq = hist_rows(jnp.where(is_match_b, dc_b, 30), 30)
 
     sym_range_l = jnp.arange(286, dtype=jnp.int32)
     nl_b = 1 + jnp.max(
@@ -142,7 +150,7 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
     off_freq = off_freq.at[:, 0].add(need_fake.astype(jnp.int32))
     no_b = jnp.maximum(no_b, jnp.where(live_b, 1, 0))
 
-    # ---- stage 3: Huffman tables -----------------------------------------
+    # ---- stage 3: Huffman tables -------------------------------------------
     # one batched construction for both alphabets (dist padded to 286):
     # halves the per-level scan overhead and the compile surface
     both_freq = jnp.concatenate(
@@ -153,27 +161,21 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
     lit_codes, lit_lens = both_codes[:nb], both_lens[:nb]
     off_codes, off_lens = both_codes[nb:, :30], both_lens[nb:, :30]
 
-    # ---- stage 4: codegen RLE + header sizes -----------------------------
+    # ---- stage 4: codegen RLE + header sizes -------------------------------
     jpos = jnp.arange(SEQ_LEN, dtype=jnp.int32)
-    seq = jnp.where(
-        jpos[None, :] < nl_b[:, None],
-        jnp.take_along_axis(
-            lit_lens, jnp.clip(jpos, 0, 285)[None, :].repeat(nb, 0), axis=1
-        ),
-        jnp.take_along_axis(
-            off_lens,
-            jnp.clip(jpos[None, :] - nl_b[:, None], 0, 29),
-            axis=1,
-        ),
+    lit_part = take_rows(
+        lit_lens, jnp.clip(jpos, 0, 285)[None, :].repeat(nb, 0)
     )
+    off_part = take_rows(
+        off_lens, jnp.clip(jpos[None, :] - nl_b[:, None], 0, 29)
+    )
+    seq = jnp.where(jpos[None, :] < nl_b[:, None], lit_part, off_part)
     cg_sym, cg_pv, cg_pw, cg_freq = jax.vmap(codegen_emissions)(
         seq, nl_b + no_b
     )
     cg_codes, cg_lens = build_codes(cg_freq, C.CODEGEN_MAX_BITS)
 
-    order_freq = jnp.take_along_axis(
-        cg_freq, T.CODEGEN_ORDER[None, :].repeat(nb, 0), axis=1
-    )
+    order_freq = cg_freq[:, _ORDER_NP]
     idx19 = jnp.arange(19, dtype=jnp.int32)
     ncg_b = jnp.maximum(
         4, 1 + jnp.max(jnp.where(order_freq > 0, idx19[None, :], -1), axis=1)
@@ -193,7 +195,7 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
         + extra_l + extra_o
     )
 
-    # ---- stage 5: per-block policy (dynamic vs stored) -------------------
+    # ---- stage 5: per-block policy (dynamic vs stored) ---------------------
     def policy_step(bitpos8, x):
         dyn, nbytes, live = x
         pad = (8 - ((bitpos8 + 3) % 8)) % 8
@@ -206,7 +208,7 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
         policy_step, jnp.int32(0), (dyn_bits, n_b, live_b)
     )
 
-    # ---- stage 6: unit assembly (reshape/concat only — no scatters) ------
+    # ---- stage 6: unit assembly (dense lookups, reshape/concat only) -------
     live_i = live_b.astype(jnp.int32)
     st = use_stored
     dyn_sel = live_b & ~st
@@ -223,9 +225,7 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
     head4_v = jnp.stack([h0v, h1v, h2v, h3v], axis=1)
     head4_w = jnp.stack([h0w, h1w, h2w, h3w], axis=1)
 
-    cg_order_lens = jnp.take_along_axis(
-        cg_lens, T.CODEGEN_ORDER[None, :].repeat(nb, 0), axis=1
-    )
+    cg_order_lens = cg_lens[:, _ORDER_NP]
     cl_v = jnp.where(dyn_sel[:, None], cg_order_lens, 0)
     cl_w = jnp.where(
         dyn_sel[:, None] & (idx19[None, :] < ncg_b[:, None]), 3, 0
@@ -233,8 +233,10 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
 
     # codegen stream: one fused unit per emission (code | payload << len)
     cg_sym_c = jnp.clip(cg_sym, 0, 18)
-    cg_code_u = jnp.take_along_axis(cg_codes, cg_sym_c, axis=1)
-    cg_len_u = jnp.take_along_axis(cg_lens, cg_sym_c, axis=1)
+    cg_cl = take_rows_stack(
+        jnp.stack([cg_codes, cg_lens], axis=-1), cg_sym_c
+    )
+    cg_code_u, cg_len_u = cg_cl[..., 0], cg_cl[..., 1]
     emit = dyn_sel[:, None] & (cg_sym >= 0)
     cgu_v = jnp.where(emit, cg_code_u | (cg_pv << cg_len_u), 0)
     cgu_w = jnp.where(emit, cg_len_u + cg_pw, 0)
@@ -242,38 +244,43 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
     hdr_vals = jnp.concatenate([head4_v, cl_v, cgu_v], axis=1)
     hdr_wids = jnp.concatenate([head4_w, cl_w, cgu_w], axis=1)
 
-    # token zone: [S, 2] in position order == block-major order
-    blk_st = st[blk]
-    blk_dyn = dyn_sel[blk]
-    flat_lit_codes = lit_codes.reshape(-1)
-    flat_lit_lens = lit_lens.reshape(-1)
-    flat_off_codes = off_codes.reshape(-1)
-    flat_off_lens = off_lens.reshape(-1)
+    # token zone: [nb, BLOCK, 2] — per-block code tables broadcast densely
+    lit_cl = take_rows_stack(
+        jnp.stack([lit_codes, lit_lens], axis=-1), sym_b
+    )
+    lit_code_g, lit_len_g = lit_cl[..., 0], lit_cl[..., 1]
+    len_tabs = take1d_stack(
+        jnp.stack([T.LENGTH_EXTRA_BITS, T.LENGTH_BASE], axis=-1), lc_b
+    )
+    leb = jnp.where(is_match_b, len_tabs[..., 0], 0)
+    len_ev = jnp.where(is_match_b, xlen_b - (len_tabs[..., 1] - 3), 0)
 
-    in_range = (pos >= ctx) & (pos < n)
-    u0_dyn = committed & blk_dyn
-    lit_code_g = flat_lit_codes[blk * 286 + sym]
-    lit_len_g = flat_lit_lens[blk * 286 + sym]
-    leb = jnp.where(is_match, T.LENGTH_EXTRA_BITS[lc], 0)
-    len_ev = jnp.where(is_match, xlen - (T.LENGTH_BASE[lc] - 3), 0)
+    st_b = st[:, None]
+    dyn_b = dyn_sel[:, None]
+    u0_dyn = committed_b & dyn_b
     u0_val = jnp.where(
-        blk_st, data,
+        st_b, data_b,
         jnp.where(u0_dyn, lit_code_g | (len_ev << lit_len_g), 0),
     )
     u0_wid = jnp.where(
-        blk_st & in_range, 8, jnp.where(u0_dyn, lit_len_g + leb, 0)
+        st_b & valid, 8, jnp.where(u0_dyn, lit_len_g + leb, 0)
     )
 
-    m_dyn = is_match & blk_dyn
-    off_code_g = flat_off_codes[blk * 30 + dc]
-    off_len_g = flat_off_lens[blk * 30 + dc]
-    oeb = T.OFFSET_EXTRA_BITS[dc]
-    off_ev = xoff - (T.OFFSET_BASE[dc] - 1)
+    m_dyn = is_match_b & dyn_b
+    off_cl = take_rows_stack(
+        jnp.stack([off_codes, off_lens], axis=-1), dc_b
+    )
+    off_code_g, off_len_g = off_cl[..., 0], off_cl[..., 1]
+    off_tabs = take1d_stack(
+        jnp.stack([T.OFFSET_EXTRA_BITS, T.OFFSET_BASE], axis=-1), dc_b
+    )
+    oeb = off_tabs[..., 0]
+    off_ev = xoff_b - (off_tabs[..., 1] - 1)
     u1_val = jnp.where(m_dyn, off_code_g | (off_ev << off_len_g), 0)
     u1_wid = jnp.where(m_dyn, off_len_g + oeb, 0)
 
-    tok_vals = jnp.stack([u0_val, u1_val], axis=1).reshape(nb, UNITS_PER_POS * BLOCK)
-    tok_wids = jnp.stack([u0_wid, u1_wid], axis=1).reshape(nb, UNITS_PER_POS * BLOCK)
+    tok_vals = jnp.stack([u0_val, u1_val], axis=2).reshape(nb, UNITS_PER_POS * BLOCK)
+    tok_wids = jnp.stack([u0_wid, u1_wid], axis=2).reshape(nb, UNITS_PER_POS * BLOCK)
 
     # EOB unit per block
     eob_v = jnp.where(dyn_sel, lit_codes[:, C.END_BLOCK_MARKER], 0)[:, None]
@@ -282,7 +289,7 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
     flat_vals = jnp.concatenate([hdr_vals, tok_vals, eob_v], axis=1).reshape(-1)
     flat_wids = jnp.concatenate([hdr_wids, tok_wids, eob_w], axis=1).reshape(-1)
 
-    # ---- stage 7: segment trailer (byte alignment) -----------------------
+    # ---- stage 7: segment trailer (byte alignment) --------------------------
     # If the segment ends mid-byte, append an empty stored block whose
     # header pad realigns the stream.
     body_bits = jnp.sum(flat_wids)
@@ -299,10 +306,17 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
     all_vals = jnp.concatenate([flat_vals, trailer_vals])
     all_wids = jnp.concatenate([flat_wids, trailer_wids])
 
-    # ---- stage 8: pack ---------------------------------------------------
+    # ---- stage 8: pack -------------------------------------------------------
     max_bits = 8 * S + nb * 64 + 64
     n_words = max_bits // 32 + 2
-    words, total_bits = pack_units(all_vals, all_wids, n_words)
+    if jax.default_backend() == "tpu":
+        # hierarchical dense merge + Pallas placement (ops/pack.py):
+        # ~15x cheaper than the scatter formulation on TPU
+        from .pack import pack_units_dense
+
+        words, total_bits = pack_units_dense(all_vals, all_wids, n_words)
+    else:
+        words, total_bits = pack_units(all_vals, all_wids, n_words)
     return words, total_bits
 
 
