@@ -98,28 +98,15 @@ def _tz_bytes(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def find_matches(data: jnp.ndarray, n: jnp.ndarray):
-    """Per-position best matches for one segment.
+_WIN_STRIDE = 1 << 15   # window stride H (= max match distance)
+_WIN = 2 * _WIN_STRIDE  # window width: upper-half positions see >= 32 KB
 
-    data: uint8[S + 320] zero-padded past n.
-    n:    int32 scalar valid byte count.
-    Returns (mlen[S] int32 with admissible lengths in [4,258] else 0,
-             dist[S] int32).
-    """
-    S = data.shape[0] - 320
-    SE = S + 300
-    d32 = data.astype(jnp.uint32)
-    u32e = (
-        d32[:SE]
-        | (d32[1 : SE + 1] << 8)
-        | (d32[2 : SE + 2] << 16)
-        | (d32[3 : SE + 3] << 24)
-    )
+
+def _nearest_prev_flat(u32e: jnp.ndarray, S: int):
+    """Flat-sort candidate search (original formulation, kept for CPU &
+    small segments): two carry-sorts over the whole segment."""
     u32 = u32e[:S]
     pos = jnp.arange(S, dtype=jnp.int32)
-
-    # -- stage 1: nearest previous occurrence + 12-byte prefix, via two
-    #    carry-sorts (no scatters, no random gathers) ----------------------
     w4 = u32e[4 : S + 4]
     w8 = u32e[8 : S + 8]
     skey, spos, sw4, sw8 = jax.lax.sort(
@@ -140,6 +127,94 @@ def find_matches(data: jnp.ndarray, n: jnp.ndarray):
     _, cand, ext = jax.lax.sort(
         (spos, cand_s, ext_s), dimension=0, is_stable=True, num_keys=1
     )
+    return cand, ext
+
+
+def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
+    """Windowed batched candidate search.
+
+    Because admissible distances are <= 32768 (MAX_MATCH_OFFSET), the
+    nearest previous occurrence only matters within a 32 KB history.  Cut
+    the segment into 64 KB windows at 32 KB stride (windows share halves,
+    so they're built by reshape+stack — no gathers); each position takes
+    its result from the window where it sits in the upper half (>= 32 KB
+    of in-window history), making the result *exactly* equal to the flat
+    search after the distance check.  The sorts become batched [NW, 65536]
+    sorts along the last axis — far better TPU utilization than one flat
+    length-S sort, and lg^2(64K)=136 merge stages instead of ~210.
+    """
+    H, W = _WIN_STRIDE, _WIN
+    NH = -(-S // H)              # half-slots covering S
+    NW = max(NH - 1, 1)
+    need = (NW + 1) * H + 8
+    u32p = jnp.concatenate(
+        [u32e, jnp.zeros(max(0, need - u32e.shape[0]), jnp.uint32)]
+    )
+    halves = u32p[: (NW + 1) * H].reshape(NW + 1, H)
+    key = jnp.concatenate([halves[:-1], halves[1:]], axis=1)   # [NW, W]
+    h4 = u32p[4 : (NW + 1) * H + 4].reshape(NW + 1, H)
+    w4 = jnp.concatenate([h4[:-1], h4[1:]], axis=1)
+    h8 = u32p[8 : (NW + 1) * H + 8].reshape(NW + 1, H)
+    w8 = jnp.concatenate([h8[:-1], h8[1:]], axis=1)
+    jloc = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (NW, W))
+
+    skey, sj, sw4, sw8 = jax.lax.sort(
+        (key, jloc, w4, w8), dimension=1, is_stable=True, num_keys=1
+    )
+    same = jnp.concatenate(
+        [jnp.zeros((NW, 1), bool), skey[:, 1:] == skey[:, :-1]], axis=1
+    )
+    prevj = jnp.concatenate(
+        [jnp.zeros((NW, 1), jnp.int32), sj[:, :-1]], axis=1
+    )
+    cand_s = jnp.where(same, prevj, -1)
+    z = jnp.zeros((NW, 1), jnp.uint32)
+    x4 = sw4 ^ jnp.concatenate([z, sw4[:, :-1]], axis=1)
+    x8 = sw8 ^ jnp.concatenate([z, sw8[:, :-1]], axis=1)
+    e4_s = _tz_bytes(x4)
+    e8_s = jnp.where(e4_s == 4, _tz_bytes(x8), 0)
+    ext_s = e4_s + e8_s
+    _, cand_w, ext_w = jax.lax.sort(
+        (sj, cand_s, ext_s), dimension=1, is_stable=True, num_keys=1
+    )
+    # globalize candidates, then take each position's designated window:
+    # window 0 contributes [0, W), window k >= 1 contributes its upper half
+    base = (jnp.arange(NW, dtype=jnp.int32) * H)[:, None]
+    cand_g = jnp.where(cand_w >= 0, cand_w + base, -1)
+    cand = jnp.concatenate(
+        [cand_g[0], cand_g[1:, H:].reshape(-1)]
+    )[:S]
+    ext = jnp.concatenate(
+        [ext_w[0], ext_w[1:, H:].reshape(-1)]
+    )[:S]
+    return cand, ext
+
+
+def find_matches(data: jnp.ndarray, n: jnp.ndarray):
+    """Per-position best matches for one segment.
+
+    data: uint8[S + 320] zero-padded past n.
+    n:    int32 scalar valid byte count.
+    Returns (mlen[S] int32 with admissible lengths in [4,258] else 0,
+             dist[S] int32).
+    """
+    S = data.shape[0] - 320
+    SE = S + 300
+    d32 = data.astype(jnp.uint32)
+    u32e = (
+        d32[:SE]
+        | (d32[1 : SE + 1] << 8)
+        | (d32[2 : SE + 2] << 16)
+        | (d32[3 : SE + 3] << 24)
+    )
+    u32 = u32e[:S]
+    pos = jnp.arange(S, dtype=jnp.int32)
+
+    # -- stage 1: nearest previous occurrence + 12-byte prefix ------------
+    if S > 2 * _WIN:
+        cand, ext = _nearest_prev_windowed(u32e, S)
+    else:
+        cand, ext = _nearest_prev_flat(u32e, S)
 
     dist = pos - cand
     ok = (
