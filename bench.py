@@ -54,7 +54,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
-    from moonbit_flate_tpu.ops.pipeline import BLOCK, PAD, encode_segment
+    from moonbit_flate_tpu.ops.pipeline import BLOCK, PAD, encode_segments
 
     nb = 16
     seg = nb * BLOCK
@@ -62,42 +62,39 @@ def main():
     n_segs = len(corpus) // seg
     corpus = corpus[: n_segs * seg]
 
-    # stage segments on device
-    batches = []
+    # stage the whole corpus on device as one [B, seg + PAD] batch:
+    # a single dispatch compresses everything (per-dispatch overhead on
+    # the tunnel is ~50 ms — 3x one segment's compute)
+    buf = np.zeros((n_segs, seg + PAD), np.uint8)
     for i in range(n_segs):
-        buf = np.zeros(seg + PAD, np.uint8)
-        buf[:seg] = np.frombuffer(corpus[i * seg : (i + 1) * seg], np.uint8)
-        batches.append(jnp.asarray(buf))
-    n_arr = jnp.int32(seg)
+        buf[i, :seg] = np.frombuffer(corpus[i * seg : (i + 1) * seg], np.uint8)
+    xb = jnp.asarray(buf)
+    n_arr = jnp.full(n_segs, seg, jnp.int32)
+    ctx0 = jnp.zeros(n_segs, jnp.int32)
 
-    # warmup/compile + correctness check
-    outs = []
-    for x in batches[:2]:
-        w, b = encode_segment(x, n_arr, nb)
-        outs.append(np.asarray(w).view("<u4").tobytes()[: int(b) // 8])
+    # warmup/compile + correctness check over the whole corpus
+    wb, bb = encode_segments(xb, n_arr, ctx0, nb)
+    wb_h = np.asarray(wb)
+    bits_h = np.asarray(bb)
+    outs = [wb_h[i].view("<u4").tobytes()[: int(bits_h[i]) // 8]
+            for i in range(n_segs)]
     check = b"".join(outs) + bytes([1, 0, 0, 0xFF, 0xFF])
-    if zlib.decompress(check, wbits=-15) != corpus[: 2 * seg]:
+    if zlib.decompress(check, wbits=-15) != corpus:
         print(json.dumps({"metric": "encode_throughput", "value": 0,
                           "unit": "GB/s", "vs_baseline": 0,
                           "error": "round-trip mismatch"}))
         return 1
 
-    # steady-state timing over the whole corpus
+    # steady-state timing (compressed bits stay on device)
+    reps = 3
     t0 = time.time()
-    comp_bits = 0
-    for x in batches:
-        w, b = encode_segment(x, n_arr, nb)
-    b.block_until_ready()
-    dt = time.time() - t0
+    for _ in range(reps):
+        wb, bb = encode_segments(xb, n_arr, ctx0, nb)
+    bb.block_until_ready()
+    dt = (time.time() - t0) / reps
     nbytes = n_segs * seg
     gbps = nbytes / dt / 1e9
-    ratio = None
-    # compressed size on one pass (device->host)
-    total_c = 0
-    for x in batches:
-        w, b = encode_segment(x, n_arr, nb)
-        total_c += int(b) // 8
-    ratio = total_c / nbytes
+    ratio = sum(int(b) // 8 for b in bits_h) / nbytes
     print(json.dumps({
         "metric": "encode_throughput_silesia_like",
         "value": round(gbps, 4),

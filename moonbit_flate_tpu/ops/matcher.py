@@ -1,28 +1,30 @@
 """Vectorized LZ77 match finding — the TPU-native deflateFast.
 
 Reformulation of the reference's sequential hash-table scan
-(deflate-fast.mbt:123-270) as data-parallel stages with no sequential
-dependency over input positions, engineered around what the TPU does
-well (dense vector ops, multi-operand sorts) and avoiding what it does
-badly (serial per-element gathers/scatters — ~15 cycles each in XLA):
+(deflate-fast.mbt:123-270) as data-parallel stages engineered for the
+TPU (dense vector ops and multi-operand sorts; never per-element
+gathers, which XLA lowers to ~7 ns/element scalar loops):
 
 1. *Candidates*: the nearest previous position holding the same 4 bytes,
-   from one stable multi-operand carry-sort of the 32-bit loads
-   (jax.lax.sort carrying position + the next 8 bytes).  4-byte equality
-   is exact (the sort key IS the bytes — no hash collisions, unlike the
-   reference's direct-mapped 14-bit table).  Because the next 8 bytes
-   ride along as sort payloads, match lengths up to 12 are resolved by
-   comparing *adjacent sorted elements* — zero gathers.  A second
-   carry-sort (key = position) routes results back to position order —
-   replacing the scatter/inverse-permutation round trip.
-2. *Small distances / periodic runs (dist <= 258 when covered)*: exact
-   lengths from per-period mismatch tables built with shifted compares
-   and windowed suffix/prefix-min scans — zero gathers.  This covers RLE
-   (dict-decoder.mbt:136-149 semantics) at full speed.
-3. *Long matches (dist > periods, > 12 bytes)*: sort-compacted candidate
-   list (bounded budget) extended 32 bytes/round in a while loop that
-   exits as soon as no candidate is alive.  Budget overflow degrades a
-   match to 12 bytes — valid output, negligible ratio cost.
+   from one stable carry-sort of the 32-bit loads.  4-byte equality is
+   exact (the sort key IS the bytes — no hash collisions, unlike the
+   reference's direct-mapped 14-bit table).  The next 4 bytes ride along
+   as a sort payload, so match lengths up to 8 are resolved by comparing
+   *adjacent sorted elements* — zero gathers.  A second carry-sort
+   (key = position) routes results back to position order.
+2. *Small distances (dist <= 8, the RLE regime)* get exact lengths up
+   front from eight lag-compare run tables: eq_d[i] = (x[i] == x[i-d])
+   and a reverse cummin gives the first mismatch at or after every
+   position — pure vector work, and it covers the overlapping-copy
+   semantics of dict-decoder.mbt:136-149 exactly.
+3. *Lengths beyond 8 at dist > 8* are resolved by the greedy-walk
+   Pallas kernel (ops/walk_pallas.py) at commit time: the scalar core
+   extends only the tokens the greedy parse actually commits,
+   word-at-a-time out of SMEM — O(#committed match bytes), not
+   O(positions), replacing the per-position period tables and gathered
+   extension loops of the first design (which cost ~30 ms/MB; see git
+   history).  On CPU (tests / oracle) the same extension runs as a
+   vectorized gather loop instead (extend_matches_xla).
 
 Match admission mirrors the wire rules: distance <= 32768, length in
 [4, 258] (MIN_MATCH_LENGTH, deflate.mbt:20).  Cross-64KB-block matches
@@ -36,16 +38,16 @@ import jax
 import jax.numpy as jnp
 
 from ..formats import constants as C
-from .dense import hist_rows
 
-_PALLAS_COMMIT = None  # resolved lazily to avoid importing pallas on CPU
+SORT_CAP = 8  # match length resolvable inside the carry-sort (4 + w4)
+Z_LAGS = 4    # lags with exact vector-side run lengths (the RLE regime)
 
 
 def greedy_commit_xla(mlen: jnp.ndarray, n: jnp.ndarray,
                       start: jnp.ndarray | int = 0) -> jnp.ndarray:
     """Greedy tokenization via pointer doubling (O(log S) gather/scatter
     rounds).  Used on CPU; the TPU path uses the Pallas sequential walk
-    (commit_pallas.py), which is far cheaper there."""
+    (walk_pallas.py), which is far cheaper there."""
     S = mlen.shape[0]
     pos = jnp.arange(S, dtype=jnp.int32)
     start = jnp.asarray(start, jnp.int32)
@@ -66,24 +68,6 @@ def greedy_commit_xla(mlen: jnp.ndarray, n: jnp.ndarray,
     return (visited[:S] > 0) & (pos < n) & (pos >= start)
 
 
-def greedy_commit(mlen: jnp.ndarray, n: jnp.ndarray,
-                  start: jnp.ndarray | int = 0) -> jnp.ndarray:
-    global _PALLAS_COMMIT
-    if jax.default_backend() == "tpu":
-        if _PALLAS_COMMIT is None:
-            from .commit_pallas import greedy_commit as _pc
-
-            _PALLAS_COMMIT = _pc
-        return _PALLAS_COMMIT(mlen, n, start)
-    return greedy_commit_xla(mlen, n, start)
-
-_PERIODS = 8          # always-tabled small periods (classic RLE)
-_NUM_PERIODS = 24     # total period tables incl. dynamic most-frequent
-_LONG_BUDGET_DIV = 16  # long-match compaction budget = S / this
-_WORDS_PER_ROUND = 8  # 32 bytes per extension round
-_SORT_LEN = 12        # match length resolvable inside the carry-sort
-
-
 def _tz_bytes(x: jnp.ndarray) -> jnp.ndarray:
     """Number of trailing zero BYTES of a u32 (0..4): equal-prefix length."""
     b0 = (x & jnp.uint32(0xFF)) == 0
@@ -102,46 +86,56 @@ _WIN_STRIDE = 1 << 15   # window stride H (= max match distance)
 _WIN = 2 * _WIN_STRIDE  # window width: upper-half positions see >= 32 KB
 
 
+def _resolve_sorted(skey, sj, sw4, axis: int):
+    """Candidate + extension from sort-adjacent elements (any batch rank)."""
+    zi = [(0, 0)] * skey.ndim
+    zi[axis] = (1, 0)
+    shift = lambda a: jnp.pad(a, zi)[
+        tuple(slice(0, s) for s in a.shape)
+    ]
+    same = (skey == shift(skey))
+    if axis == 0:
+        same = same.at[0].set(False)
+    else:
+        same = same.at[:, 0].set(False)
+    prevj = shift(sj)
+    cand_s = jnp.where(same, prevj, -1)
+    x4 = sw4 ^ shift(sw4)
+    ext_s = jnp.where(same, _tz_bytes(x4), 0)
+    # pack (cand, ext) into one payload for the route-back sort:
+    # cand < 2^21 (window-local), ext <= 4 -> 3 bits
+    return jnp.where(cand_s >= 0, cand_s * 8 + ext_s, -1)
+
+
 def _nearest_prev_flat(u32e: jnp.ndarray, S: int):
-    """Flat-sort candidate search (original formulation, kept for CPU &
-    small segments): two carry-sorts over the whole segment."""
+    """Flat-sort candidate search (CPU & small segments)."""
     u32 = u32e[:S]
     pos = jnp.arange(S, dtype=jnp.int32)
     w4 = u32e[4 : S + 4]
-    w8 = u32e[8 : S + 8]
-    skey, spos, sw4, sw8 = jax.lax.sort(
-        (u32, pos, w4, w8), dimension=0, is_stable=True, num_keys=1
+    skey, spos, sw4 = jax.lax.sort(
+        (u32, pos, w4), dimension=0, is_stable=True, num_keys=1
     )
-    same_as_prev = jnp.concatenate(
-        [jnp.zeros(1, bool), skey[1:] == skey[:-1]]
+    packed_s = _resolve_sorted(skey, spos, sw4, axis=0)
+    _, packed = jax.lax.sort(
+        (spos, packed_s), dimension=0, is_stable=True, num_keys=1
     )
-    prev_pos = jnp.concatenate([jnp.zeros(1, jnp.int32), spos[:-1]])
-    cand_s = jnp.where(same_as_prev, prev_pos, -1)
-    # lengths 4..12 from adjacent payload comparison, in sorted order
-    x4 = sw4 ^ jnp.concatenate([jnp.zeros(1, jnp.uint32), sw4[:-1]])
-    x8 = sw8 ^ jnp.concatenate([jnp.zeros(1, jnp.uint32), sw8[:-1]])
-    e4_s = _tz_bytes(x4)
-    e8_s = jnp.where(e4_s == 4, _tz_bytes(x8), 0)
-    ext_s = e4_s + e8_s                                   # 0..8
-    # route back to position order: one more carry-sort keyed by position
-    _, cand, ext = jax.lax.sort(
-        (spos, cand_s, ext_s), dimension=0, is_stable=True, num_keys=1
-    )
+    cand = jnp.where(packed >= 0, packed >> 3, -1)
+    ext = jnp.where(packed >= 0, packed & 7, 0)
     return cand, ext
 
 
 def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
     """Windowed batched candidate search.
 
-    Because admissible distances are <= 32768 (MAX_MATCH_OFFSET), the
-    nearest previous occurrence only matters within a 32 KB history.  Cut
-    the segment into 64 KB windows at 32 KB stride (windows share halves,
-    so they're built by reshape+stack — no gathers); each position takes
-    its result from the window where it sits in the upper half (>= 32 KB
-    of in-window history), making the result *exactly* equal to the flat
-    search after the distance check.  The sorts become batched [NW, 65536]
-    sorts along the last axis — far better TPU utilization than one flat
-    length-S sort, and lg^2(64K)=136 merge stages instead of ~210.
+    Admissible distances are <= 32768 (MAX_MATCH_OFFSET), so the nearest
+    previous occurrence only matters within a 32 KB history.  Cut the
+    segment into 64 KB windows at 32 KB stride (windows share halves, so
+    they're built by reshape+stack — no gathers); each position takes its
+    result from the window where it sits in the upper half (>= 32 KB of
+    in-window history), making the result *exactly* equal to the flat
+    search after the distance check.  The sorts become batched
+    [NW, 65536] sorts along the last axis — better TPU utilization than
+    one flat length-S sort.
     """
     H, W = _WIN_STRIDE, _WIN
     NH = -(-S // H)              # half-slots covering S
@@ -154,29 +148,17 @@ def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
     key = jnp.concatenate([halves[:-1], halves[1:]], axis=1)   # [NW, W]
     h4 = u32p[4 : (NW + 1) * H + 4].reshape(NW + 1, H)
     w4 = jnp.concatenate([h4[:-1], h4[1:]], axis=1)
-    h8 = u32p[8 : (NW + 1) * H + 8].reshape(NW + 1, H)
-    w8 = jnp.concatenate([h8[:-1], h8[1:]], axis=1)
     jloc = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (NW, W))
 
-    skey, sj, sw4, sw8 = jax.lax.sort(
-        (key, jloc, w4, w8), dimension=1, is_stable=True, num_keys=1
+    skey, sj, sw4 = jax.lax.sort(
+        (key, jloc, w4), dimension=1, is_stable=True, num_keys=1
     )
-    same = jnp.concatenate(
-        [jnp.zeros((NW, 1), bool), skey[:, 1:] == skey[:, :-1]], axis=1
+    packed_s = _resolve_sorted(skey, sj, sw4, axis=1)
+    _, packed_w = jax.lax.sort(
+        (sj, packed_s), dimension=1, is_stable=True, num_keys=1
     )
-    prevj = jnp.concatenate(
-        [jnp.zeros((NW, 1), jnp.int32), sj[:, :-1]], axis=1
-    )
-    cand_s = jnp.where(same, prevj, -1)
-    z = jnp.zeros((NW, 1), jnp.uint32)
-    x4 = sw4 ^ jnp.concatenate([z, sw4[:, :-1]], axis=1)
-    x8 = sw8 ^ jnp.concatenate([z, sw8[:, :-1]], axis=1)
-    e4_s = _tz_bytes(x4)
-    e8_s = jnp.where(e4_s == 4, _tz_bytes(x8), 0)
-    ext_s = e4_s + e8_s
-    _, cand_w, ext_w = jax.lax.sort(
-        (sj, cand_s, ext_s), dimension=1, is_stable=True, num_keys=1
-    )
+    cand_w = jnp.where(packed_w >= 0, packed_w >> 3, -1)
+    ext_w = jnp.where(packed_w >= 0, packed_w & 7, 0)
     # globalize candidates, then take each position's designated window:
     # window 0 contributes [0, W), window k >= 1 contributes its upper half
     base = (jnp.arange(NW, dtype=jnp.int32) * H)[:, None]
@@ -190,13 +172,36 @@ def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
     return cand, ext
 
 
+def _small_period_lengths(data: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Exact run lengths for the Z_LAGS smallest lags.
+
+    Returns z[Z_LAGS, S]: z[d-1, i] = length of the agreement run between
+    data[i:] and data[i-d:] (0 where data[i] != data[i-d] or i < d),
+    clipped at MAX_MATCH_LENGTH.  One lag-compare plus one reverse
+    cummin per lag — pure vector work, no gathers.
+    """
+    big = jnp.int32(S)
+    pos = jnp.arange(S, dtype=jnp.int32)
+    rows = []
+    for d in range(1, Z_LAGS + 1):
+        eq = jnp.concatenate(
+            [jnp.zeros(d, jnp.bool_), data[d:S] == data[: S - d]]
+        )
+        rows.append(jnp.where(eq, big, pos))
+    m = jnp.stack(rows)                                    # [Z_LAGS, S]
+    z = jnp.flip(jax.lax.cummin(jnp.flip(m, 1), axis=1), 1)
+    return jnp.minimum(z - pos[None, :], C.MAX_MATCH_LENGTH)
+
+
 def find_matches(data: jnp.ndarray, n: jnp.ndarray):
     """Per-position best matches for one segment.
 
     data: uint8[S + 320] zero-padded past n.
     n:    int32 scalar valid byte count.
-    Returns (mlen[S] int32 with admissible lengths in [4,258] else 0,
-             dist[S] int32).
+    Returns (mlen[S] int32, dist[S] int32).  Lengths are exact up to
+    MAX_MATCH_LENGTH for dist <= Z_LAGS (lag run tables) and capped at
+    SORT_CAP otherwise — SORT_CAP means ">= SORT_CAP, extend at commit"
+    (walk_pallas on TPU, extend_matches_xla on CPU).
     """
     S = data.shape[0] - 320
     SE = S + 300
@@ -207,10 +212,8 @@ def find_matches(data: jnp.ndarray, n: jnp.ndarray):
         | (d32[2 : SE + 2] << 16)
         | (d32[3 : SE + 3] << 24)
     )
-    u32 = u32e[:S]
     pos = jnp.arange(S, dtype=jnp.int32)
 
-    # -- stage 1: nearest previous occurrence + 12-byte prefix ------------
     if S > 2 * _WIN:
         cand, ext = _nearest_prev_windowed(u32e, S)
     else:
@@ -222,127 +225,79 @@ def find_matches(data: jnp.ndarray, n: jnp.ndarray):
         & (cand >= 0)
         & (dist <= C.MAX_MATCH_OFFSET)
     )
-    # candidate tail safety: ext bytes past n are garbage; clamp later via
-    # the final min(mlen, n - pos).
-    mlen = jnp.where(ok, 4 + ext, 0)                      # 4.._SORT_LEN
+    mlen = jnp.where(ok, 4 + ext, 0)                      # 4..SORT_CAP
 
-    # -- stage 2: periodic paths (exact, gather-free) ----------------------
-    # A match whose distance d satisfies length >= d is a periodic run;
-    # its exact length is (first j >= pos with data[j] != data[j-d]) - pos.
-    # Static tables cover d <= 8 (classic RLE); on top of that, the most
-    # frequent candidate distances <= 258 get *dynamic* period tables —
-    # this is what keeps highly repetitive inputs (period-45 text,
-    # period-128 ramps) off the gather path entirely.
-    db = data[:S].astype(jnp.int32)
-    is_valid_i = pos < n
-    BIG = jnp.int32(S + 300)
+    # exact lengths for the Z_LAGS smallest distances (RLE/overlap regime)
+    z = _small_period_lengths(data[:S], S)
+    sel = jnp.zeros(S, jnp.int32)
+    for d in range(1, Z_LAGS + 1):
+        sel = jnp.where(dist == d, z[d - 1], sel)
+    mlen = jnp.where(ok & (dist <= Z_LAGS), sel, mlen)
 
-    extendable = ok & (mlen >= _SORT_LEN)
-    small_long = extendable & (dist <= C.MAX_MATCH_LENGTH)
-    hist = hist_rows(
-        jnp.where(small_long, dist, C.MAX_MATCH_LENGTH + 1)[None, :],
-        C.MAX_MATCH_LENGTH + 1,
-    )[0]
-    hist = hist.at[0].set(0)
-    # force periods 1..8 into the table, then the most frequent others
-    hist = hist.at[1 : _PERIODS + 1].add(1 << 24)
-    _, top_p = jax.lax.top_k(hist, _NUM_PERIODS)
-    top_p = top_p.astype(jnp.int32)
-
-    db_pad = jnp.concatenate(
-        [jnp.full(C.MAX_MATCH_LENGTH, -1, jnp.int32), db]
-    )
-
-    def period_row(p):
-        prevb = jax.lax.dynamic_slice(
-            db_pad, (C.MAX_MATCH_LENGTH - p,), (S,)
-        )
-        eq = (db == prevb) & is_valid_i
-        return jnp.where(eq, BIG, pos)
-
-    mism = jax.vmap(period_row)(top_p)                      # [P, S]
-    # Windowed first-mismatch instead of a full-length reverse scan:
-    # only the next 258 positions matter (match length clamp), so a
-    # block-structured suffix/prefix min over 272-wide tiles is exact
-    # after clamping and ~3x cheaper than associative_scan over S.
-    W = 272
-    S_t = ((S + W - 1) // W) * W
-    mism_p = jnp.concatenate(
-        [mism, jnp.full((mism.shape[0], S_t - S + W), BIG, jnp.int32)], axis=1
-    )
-    tiles = mism_p.reshape(mism.shape[0], -1, W)
-    sfx = jnp.flip(
-        jax.lax.cummin(jnp.flip(tiles, axis=2), axis=2), axis=2
-    )                                  # suffix min to tile end
-    pfx = jax.lax.cummin(tiles, axis=2)  # prefix min from tile start
-    nxt = jnp.concatenate(
-        [pfx[:, 1:, :], jnp.full((mism.shape[0], 1, W), BIG, jnp.int32)],
-        axis=1,
-    )
-    run_end = jnp.minimum(sfx, nxt).reshape(mism.shape[0], -1)[:, :S]
-    mlen_per = jnp.zeros(S, jnp.int32)
-    covered = jnp.zeros(S, bool)
-    for k in range(_NUM_PERIODS):
-        sel = dist == top_p[k]
-        mlen_per = jnp.where(sel, run_end[k] - pos, mlen_per)
-        covered = covered | sel
-    # The mismatch table gives the *exact* match length against the
-    # distance-d candidate for any position (first j >= pos where
-    # data[j] != data[j-d]), so coverage alone gates it.
-    per_ok = ok & covered
-    mlen = jnp.where(per_ok, jnp.maximum(mlen_per, mlen), mlen)
-
-    # -- stage 3: remaining long matches (gathered extension) --------------
-    # Only candidates that matched the full 12 sort-resolved bytes and are
-    # not period-covered reach the gather path; budget is S/16 entries.
-    K = S // _LONG_BUDGET_DIV
-    long_mask = extendable & ~covered & (dist > _PERIODS)
-    # sort-based compaction (valid positions first, ascending)
-    comp_key = jnp.where(long_mask, pos, BIG)
-    comp_key, comp_cand = jax.lax.sort(
-        (comp_key, jnp.maximum(cand, 0)), dimension=0, is_stable=True,
-        num_keys=1,
-    )
-    lidx = comp_key[:K]
-    lvalid = lidx < S
-    lpos = jnp.where(lvalid, lidx, 0)
-    lcand = comp_cand[:K]
-    woffs = jnp.arange(_WORDS_PER_ROUND, dtype=jnp.int32) * 4
-
-    def round_body(state):
-        cm, alive, _ = state
-        base = cm  # current verified length per candidate
-        ia = lpos[:, None] + base[:, None] + woffs[None, :]
-        ib = lcand[:, None] + base[:, None] + woffs[None, :]
-        wa = u32e[jnp.clip(ia, 0, SE - 1)]
-        wb = u32e[jnp.clip(ib, 0, SE - 1)]
-        eqw = wa == wb
-        full = jnp.cumprod(eqw.astype(jnp.int32), axis=1)
-        nfull = jnp.sum(full, axis=1)
-        # first differing word, then byte resolution inside it
-        diff = wa ^ wb
-        first_diff = jnp.take_along_axis(
-            diff, jnp.minimum(nfull, _WORDS_PER_ROUND - 1)[:, None], axis=1
-        )[:, 0]
-        tzb = jnp.where(
-            nfull == _WORDS_PER_ROUND, 0, _tz_bytes(first_diff)
-        )
-        run = 4 * nfull + tzb
-        cm = cm + jnp.where(alive, run, 0)
-        alive = alive & (run == 32) & (cm < C.MAX_MATCH_LENGTH)
-        return cm, alive, jnp.any(alive)
-
-    def round_cond(state):
-        return state[2]
-
-    cm0 = jnp.full(K, _SORT_LEN, jnp.int32)
-    alive0 = lvalid
-    cm, _, _ = jax.lax.while_loop(
-        round_cond, round_body, (cm0, alive0, jnp.any(alive0))
-    )
-    mlen = mlen.at[jnp.where(lvalid, lidx, S + 1)].max(cm, mode="drop")
-
-    # -- final admission ---------------------------------------------------
-    mlen = jnp.minimum(jnp.minimum(mlen, C.MAX_MATCH_LENGTH), n - pos)
+    # tail safety: bytes past n are padding garbage
+    mlen = jnp.minimum(mlen, n - pos)
     mlen = jnp.where(ok & (mlen >= C.MIN_MATCH_LENGTH), mlen, 0)
     return mlen, jnp.where(mlen > 0, dist, 0)
+
+
+def extend_matches_xla(data: jnp.ndarray, mlen: jnp.ndarray,
+                       dist: jnp.ndarray, n: jnp.ndarray,
+                       cap: jnp.ndarray) -> jnp.ndarray:
+    """Resolve capped lengths on CPU: a vectorized gather loop extending
+    every dist > Z_LAGS, len == SORT_CAP candidate 4 bytes per round.
+    The TPU path never calls this (walk_pallas extends at commit)."""
+    S = mlen.shape[0]
+    SE = S + 300
+    d32 = data.astype(jnp.uint32)
+    u32e = (
+        d32[:SE]
+        | (d32[1 : SE + 1] << 8)
+        | (d32[2 : SE + 2] << 16)
+        | (d32[3 : SE + 3] << 24)
+    )
+    pos = jnp.arange(S, dtype=jnp.int32)
+    max_l = jnp.minimum(jnp.minimum(C.MAX_MATCH_LENGTH, n - pos), cap)
+    active0 = (dist > Z_LAGS) & (mlen == SORT_CAP) & (max_l > SORT_CAP)
+    lo = jnp.where(active0, jnp.int32(SORT_CAP), mlen)
+
+    def body(state):
+        L, act = state
+        a = jnp.clip(pos + L, 0, SE - 1)
+        b = jnp.clip(pos - dist + L, 0, SE - 1)
+        x = jnp.where(act, u32e[a] ^ u32e[b], jnp.uint32(1))
+        tzb = jnp.minimum(_tz_bytes(x), max_l - L)
+        L = L + jnp.where(act, tzb, 0)
+        act = act & (tzb == 4) & (L + 4 <= max_l)
+        return L, act
+
+    def cond(state):
+        return jnp.any(state[1])
+
+    L, _ = jax.lax.while_loop(cond, body, (lo, active0))
+    # a full-word tail may stop 1-3 bytes short of max_l
+    a = jnp.clip(pos + L, 0, SE - 1)
+    b = jnp.clip(pos - dist + L, 0, SE - 1)
+    tail = jnp.minimum(_tz_bytes(u32e[a] ^ u32e[b]), max_l - L)
+    L = L + jnp.where(active0, jnp.maximum(tail, 0), 0)
+    return jnp.where(mlen > 0, jnp.minimum(L, max_l), 0)
+
+
+def pack_match_info(mlen: jnp.ndarray, dist: jnp.ndarray,
+                    ctx: jnp.ndarray, S_pad: int):
+    """Pack matcher output for the greedy-walk kernel.
+
+    Returns (minfo int32[S_pad] = dist << 9 | mlen at match starts,
+             grp int32[S_pad/32] bitmask of match-start positions).
+    Positions before ``ctx`` never start a token (context prefix,
+    SURVEY §2.9.4) but remain referencable as match sources.
+    """
+    S = mlen.shape[0]
+    pos = jnp.arange(S, dtype=jnp.int32)
+    has = (mlen >= C.MIN_MATCH_LENGTH) & (pos >= ctx)
+    minfo = jnp.where(has, (dist << 9) | mlen, 0)
+    if S_pad > S:
+        minfo = jnp.concatenate([minfo, jnp.zeros(S_pad - S, jnp.int32)])
+    bits = (minfo != 0).astype(jnp.uint32).reshape(-1, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    grp = jnp.sum(bits * weights, axis=1).astype(jnp.int32)
+    return minfo, grp

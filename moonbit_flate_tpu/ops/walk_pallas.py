@@ -1,0 +1,261 @@
+"""Greedy parse + lazy match extension as one Pallas scalar-core walk.
+
+The greedy tokenization of deflateFast (deflate-fast.mbt:123-270) is the
+one inherently sequential piece of the encode pipeline.  Round 1 ran it
+as a per-position walk over match lengths the vector stages had fully
+resolved up front — and resolving lengths for *every* position cost
+~30 ms/MB in period tables and gathered extension loops, even though
+the parse only commits ~S/8 of them.
+
+This kernel inverts that: the vector stages deliver only *capped*
+candidates (length <= SORT_CAP from the carry-sort payload; exact
+lengths for lags <= Z_LAGS from lag-compare run tables), and the walk
+
+  1. skips literal runs via a match-presence bitmask (one scan per
+     32 positions, not per byte),
+  2. commits matches greedily, and
+  3. extends each committed match word-at-a-time against a 32 KB
+     history window resident in SMEM (DMA'd from HBM per chunk) —
+     O(committed match bytes), not O(positions).
+
+The kernel is natively batched over segments (grid = (B, chunks), the
+chunk axis innermost) so one dispatch parses a whole corpus — per-
+dispatch tunnel overhead (~50 ms measured on the v5e link) amortizes
+across segments.
+
+Outputs are a committed-match bitmask plus the match info array with
+final lengths written at committed starts (entries elsewhere are
+garbage and must be masked by the bitmask — this avoids a per-position
+zeroing loop).  Block-boundary clipping (65535-byte blocks,
+max_store_block_size deflate-fast.mbt:46) is enforced by tracking the
+next boundary as walk state; n- and 258-clipping per the wire rules
+(deflate.mbt:20-25).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import constants as C
+from .matcher import SORT_CAP, Z_LAGS
+
+CHUNK = 8192          # positions per grid step
+HALO = 1 << 15        # history bytes needed by extension (max distance)
+SLACK = 4096          # extension overrun past the chunk (needs only
+                      # 258 + 8 bytes; rounded up so the DMA'd window is
+                      # a multiple of the 1024-word SMEM tile)
+_NW = CHUNK // 32     # bitmask words per chunk
+_NWP = 1024           # bitmask words padded per chunk (XLA 1-D i32 SMEM
+                      # layout is T(1024); only the first _NW are real)
+_C4 = CHUNK // 4      # data words per chunk
+_WWIN = (HALO + CHUNK + SLACK) // 4   # window words resident in SMEM
+
+
+def _tz32(x):
+    """Index of the lowest set bit of a nonzero uint32 (5 halving steps)."""
+    b = jnp.int32(0)
+    for sh, m in ((16, 0xFFFF), (8, 0xFF), (4, 0xF), (2, 0x3), (1, 0x1)):
+        hit = (x & jnp.uint32(m)) == 0
+        b = b + jnp.where(hit, sh, 0)
+        x = jnp.where(hit, x >> jnp.uint32(sh), x)
+    return b
+
+
+def _tz_bytes(x):
+    """Number of trailing zero bytes of a uint32 (0..4)."""
+    b0 = (x & jnp.uint32(0xFF)) == 0
+    b1 = (x & jnp.uint32(0xFFFF)) == 0
+    b2 = (x & jnp.uint32(0xFFFFFF)) == 0
+    b3 = x == 0
+    return (b0.astype(jnp.int32) + (b0 & b1).astype(jnp.int32)
+            + (b0 & b1 & b2).astype(jnp.int32)
+            + (b0 & b1 & b2 & b3).astype(jnp.int32))
+
+
+def _make_kernel(w4t: int):
+    """w4t: words per segment in the flattened data-word array."""
+
+    def _kernel(params_ref, bits_ref, minfo_ref, words_hbm,
+                bits_out_ref, minfo_out_ref, wwin_ref, sem, state_ref):
+        g = pl.program_id(0)      # segment (batch) index
+        t = pl.program_id(1)      # chunk index within the segment
+        base = t * CHUNK
+        ctx = params_ref[g, 0]
+        n = params_ref[g, 1]
+
+        # window of data words [base - HALO, base + CHUNK + SLACK) — each
+        # segment's words are pre-padded with HALO zero bytes, so chunk
+        # t's window starts at word g*w4t + t*C4 and every start is in
+        # range (and 1024-word aligned).
+        dma = pltpu.make_async_copy(
+            words_hbm.at[pl.ds(g * w4t + t * _C4, _WWIN)], wwin_ref, sem
+        )
+        dma.start()
+
+        @pl.when(t == 0)
+        def _():
+            state_ref[0] = ctx                  # cursor
+            state_ref[1] = ctx + C.MAX_STORE_BLOCK_SIZE  # next block boundary
+
+        def zero_body(w, carry):
+            bits_out_ref[0, w] = 0
+            return carry
+
+        jax.lax.fori_loop(0, _NW, zero_body, 0)
+
+        dma.wait()
+
+        def load32(p):
+            """Little-endian 4-byte load at absolute byte position p."""
+            off = p - base + HALO
+            w = off >> 2
+            s = jnp.uint32((off & 3) << 3)
+            lo = wwin_ref[w].astype(jnp.uint32)
+            hi = wwin_ref[w + 1].astype(jnp.uint32)
+            return jnp.where(s == 0, lo, (lo >> s) | (hi << (jnp.uint32(32) - s)))
+
+        end = base + CHUNK
+
+        def body(state):
+            cur, nbe = state
+            local = cur - base
+            wi = local >> 5
+            word = bits_ref[0, wi].astype(jnp.uint32) & (
+                jnp.uint32(0xFFFFFFFF) << jnp.uint32(local & 31)
+            )
+
+            def scan_cond(s):
+                wi_, wd_ = s
+                return (wd_ == 0) & (wi_ + 1 < _NW)
+
+            def scan_body(s):
+                wi_, _ = s
+                return wi_ + 1, bits_ref[0, wi_ + 1].astype(jnp.uint32)
+
+            wi, word = jax.lax.while_loop(scan_cond, scan_body, (wi, word))
+
+            def no_match(_):
+                return end, nbe
+
+            def has_match(word):
+                b = _tz32(word)
+                q = base + wi * 32 + b
+                info = minfo_ref[0, q - base]
+                d = info >> 9
+                L0 = info & 511
+
+                # advance the 65535-byte block boundary past q (amortized:
+                # a handful of iterations per segment)
+                def nbe_body(x):
+                    return x + C.MAX_STORE_BLOCK_SIZE
+
+                nbe2 = jax.lax.while_loop(lambda x: x <= q, nbe_body, nbe)
+
+                max_l = jnp.minimum(
+                    jnp.minimum(C.MAX_MATCH_LENGTH, n - q), nbe2 - q
+                )
+                L = jnp.minimum(L0, max_l)
+
+                def extend(_):
+                    def econd(l):
+                        return (l + 4 <= max_l) & (
+                            load32(q + l) == load32(q - d + l)
+                        )
+
+                    le = jax.lax.while_loop(econd, lambda l: l + 4,
+                                            jnp.int32(SORT_CAP))
+                    diff = load32(q + le) ^ load32(q - d + le)
+                    return le + jnp.minimum(_tz_bytes(diff), max_l - le)
+
+                need_ext = (d > Z_LAGS) & (L0 == SORT_CAP) & (max_l > SORT_CAP)
+                L = jax.lax.cond(need_ext, extend, lambda _: L, 0)
+
+                bits_out_ref[0, wi] = (
+                    bits_out_ref[0, wi].astype(jnp.uint32)
+                    | (jnp.uint32(1) << jnp.uint32(b))
+                ).astype(jnp.int32)
+                minfo_out_ref[0, q - base] = (d << 9) | L
+                return q + L, nbe2
+
+            return jax.lax.cond(word == 0, no_match, has_match, word)
+
+        cur0 = jnp.maximum(state_ref[0], base)
+        cur, nbe = jax.lax.while_loop(
+            lambda s: s[0] < end, body, (cur0, state_ref[1])
+        )
+        state_ref[0] = cur
+        state_ref[1] = nbe
+
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def walk_batch(bits: jnp.ndarray, minfo: jnp.ndarray,
+               words_padded: jnp.ndarray, ctx: jnp.ndarray, n: jnp.ndarray,
+               interpret: bool = False):
+    """Greedy-commit + extend, batched over B independent segments.
+
+    bits:  int32[B, S/32] match-presence bitmask (bit i of word w =
+           position 32w+i holds an admissible candidate).
+    minfo: int32[B, S] packed (dist << 9 | capped_len) at candidates.
+    words_padded: int32[B, (HALO + S + SLACK) / 4] little-endian data
+           words, HALO zero bytes prepended (position p's bytes start in
+           word (p + HALO) / 4).
+    ctx, n: int32[B] context-prefix length and valid byte count.
+    Returns (bits_out int32[B, S/32] committed-match-start mask,
+             minfo_out int32[B, S] with (dist << 9 | final_len) at
+             committed starts; other entries are GARBAGE — mask with
+             bits_out).
+    """
+    B, S = minfo.shape
+    assert S % CHUNK == 0, S
+    w4t = (HALO + S + SLACK) // 4
+    assert words_padded.shape == (B, w4t)
+    words_flat = words_padded.reshape(B * w4t)
+    n_chunks = S // CHUNK
+    params = jnp.stack(
+        [jnp.asarray(ctx, jnp.int32).reshape(B),
+         jnp.asarray(n, jnp.int32).reshape(B)], axis=1
+    )
+    # pad each chunk's bitmask row from _NW to _NWP words (layout, §above)
+    bits = jnp.pad(
+        bits.reshape(B, n_chunks, _NW), ((0, 0), (0, 0), (0, _NWP - _NW))
+    ).reshape(B, n_chunks * _NWP)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, _NWP), lambda g, t, s: (g, t),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CHUNK), lambda g, t, s: (g, t),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, _NWP), lambda g, t, s: (g, t),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, CHUNK), lambda g, t, s: (g, t),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((_WWIN,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    bits_out, minfo_out = pl.pallas_call(
+        _make_kernel(w4t),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_chunks * _NWP), jnp.int32),
+            jax.ShapeDtypeStruct((B, S), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, bits, minfo, words_flat)
+    bits_out = bits_out.reshape(B, n_chunks, _NWP)[:, :, :_NW]
+    return bits_out.reshape(B, S // 32), minfo_out

@@ -664,7 +664,12 @@ long mf_inflate_dict(const uint8_t *in, long n, uint8_t *out, long cap,
     int final_flag = 0;
     long err = -3;  /* corrupt */
     while (!final_flag) {
-        if (!br_need(&r, 3)) { err = -4; goto done; }
+        /* EOF while reading a block header is a CLEAN end of stream:
+         * the reference's more_bits propagates raw eof in next_block
+         * (inflate.mbt:789-799, deliberately unlike Go's noEOF wrap),
+         * so a stream truncated at a block boundary decodes to the
+         * bytes emitted so far. */
+        if (!br_need(&r, 3)) goto done_ok;
         final_flag = (int)(r.b & 1);
         int typ = (int)((r.b >> 1) & 3);
         r.b >>= 3; r.nb -= 3;
@@ -776,6 +781,9 @@ long mf_inflate_dict(const uint8_t *in, long n, uint8_t *out, long cap,
         }
     }
     err = outpos;
+    goto done;
+done_ok:
+    err = outpos;
 done:
     free(h1.links); free(h2.links);
     return err;
@@ -813,7 +821,8 @@ long mf_scan_tokens(const uint8_t *in, long n, int32_t *toks, long cap,
     int final_flag = 0;
     long err = -3;
     while (!final_flag) {
-        if (!br_need(&r, 3)) { err = -4; goto done; }
+        /* clean-EOF at block header, as in mf_inflate_dict above */
+        if (!br_need(&r, 3)) goto done_ok;
         final_flag = (int)(r.b & 1);
         int typ = (int)((r.b >> 1) & 3);
         r.b >>= 3; r.nb -= 3;
@@ -915,6 +924,9 @@ long mf_scan_tokens(const uint8_t *in, long n, int32_t *toks, long cap,
             outpos += length;
         }
     }
+    err = ntok;
+    goto done;
+done_ok:
     err = ntok;
 done:
     free(h1.links); free(h2.links);

@@ -16,7 +16,7 @@ from moonbit_flate_tpu.huffman import encode as henc
 from moonbit_flate_tpu.inflate.decoder import decompress
 from moonbit_flate_tpu.ops.header import SEQ_LEN, codegen_emissions
 from moonbit_flate_tpu.ops.huffman_jax import build_codes
-from moonbit_flate_tpu.ops.matcher import find_matches, greedy_commit
+from moonbit_flate_tpu.ops.matcher import find_matches, greedy_commit_xla
 
 
 @pytest.fixture(scope="module")
@@ -80,7 +80,7 @@ def test_greedy_commit_equals_sequential():
     # random sprinkle of match lengths
     idx = rng.integers(0, n - 300, 800)
     mlen[idx] = rng.integers(4, 259, 800)
-    got = np.array(greedy_commit(jnp.asarray(mlen), jnp.int32(n)))
+    got = np.array(greedy_commit_xla(jnp.asarray(mlen), jnp.int32(n)))
     # sequential model
     want = np.zeros(S, bool)
     i = 0

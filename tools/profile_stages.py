@@ -1,6 +1,6 @@
 """Stage-level profile of the TPU encode pipeline (ubench slope method).
 
-Times the matcher / commit / pack stages independently at the bench
+Times the matcher / walk / pack stages independently at the bench
 shape (nb=16, S ~= 1 MiB).  The full-pipeline number comes from bench.py
 (different inputs defeat the tunnel's dispatch memoization there); the
 "everything else" share is full - (stages here).
@@ -20,6 +20,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 from bench import make_corpus
 from moonbit_flate_tpu.ops.pipeline import BLOCK, PAD
 from moonbit_flate_tpu.ops import matcher as M
+from moonbit_flate_tpu.ops import walk_pallas as W
 from tools.ubench import slope
 
 NB = 16
@@ -47,14 +48,14 @@ def _u32e(d):
             | (d32[3:SE+3] << 24))
 
 
-def s_flat(d):
-    cand, ext = M._nearest_prev_flat(_u32e(d), S)
-    return d.at[0].set((cand[0] % 2).astype(jnp.uint8))
-
-
 def s_win(d):
     cand, ext = M._nearest_prev_windowed(_u32e(d), S)
     return d.at[0].set((cand[0] % 2).astype(jnp.uint8))
+
+
+def s_z(d):
+    z = M._small_period_lengths(d[:S], S)
+    return d.at[0].set((z[0, 0] % 2).astype(jnp.uint8))
 
 
 def s_fm(d):
@@ -62,19 +63,26 @@ def s_fm(d):
     return d.at[0].set((mlen[0] % 2).astype(jnp.uint8))
 
 
-t("nearest_prev flat sorts", s_flat, data)
 t("nearest_prev windowed", s_win, data)
+t("small_period_lengths", s_z, data)
 t("find_matches total", s_fm, data)
 
-mlen0, _ = jax.jit(M.find_matches)(data, n)
+mlen0, dist0 = jax.jit(M.find_matches, static_argnums=())(data, n)
+S_pad = -(-S // W.CHUNK) * W.CHUNK
+minfo0, grp0 = jax.jit(M.pack_match_info, static_argnums=(3,))(
+    mlen0, dist0, jnp.int32(0), S_pad)
+nbytes = W.HALO + S_pad + W.SLACK
+pb = np.zeros(nbytes, np.uint8)
+pb[W.HALO : W.HALO + S + PAD] = np.asarray(data)
+words0 = jnp.asarray(pb.view("<i4"))
 
 
-def s_commit(m):
-    c = M.greedy_commit(m, n, 0)
-    return m.at[0].set(c[0].astype(jnp.int32))
+def s_walk(m):
+    b, mo = W.walk(grp0, m, words0, jnp.int32(0), n)
+    return m.at[0].set(mo[0] % 2)
 
 
-t("greedy_commit (pallas)", s_commit, mlen0)
+t("walk (pallas)", s_walk, minfo0)
 
 from moonbit_flate_tpu.ops.pack import pack_units_dense
 
