@@ -689,7 +689,7 @@ long mf_inflate_dict(const uint8_t *in, long n, uint8_t *out, long cap,
         const HDec *hl; const HDec *hd = NULL;
         if (typ == 1) hl = &hfixed;
         else if (typ == 2) {
-            if (!br_need(&r, 14)) { err = -4; goto done; }
+            if (!br_need(&r, 14)) goto done_ok;          /* raw eof: inflate.mbt:432 */
             int nlit = (int)(r.b & 0x1f) + 257; r.b >>= 5;
             int ndist = (int)(r.b & 0x1f) + 1; r.b >>= 5;
             int nclen = (int)(r.b & 0xf) + 4; r.b >>= 4;
@@ -697,7 +697,7 @@ long mf_inflate_dict(const uint8_t *in, long n, uint8_t *out, long cap,
             if (nlit > MAX_NUM_LIT || ndist > MAX_NUM_DIST) goto done;
             uint8_t codebits[NUM_CODES]; memset(codebits, 0, sizeof codebits);
             for (int i = 0; i < nclen; i++) {
-                if (!br_need(&r, 3)) { err = -4; goto done; }
+                if (!br_need(&r, 3)) goto done_ok;       /* raw eof: inflate.mbt:455 */
                 codebits[codegen_order[i]] = (uint8_t)(r.b & 7);
                 r.b >>= 3; r.nb -= 3;
             }
@@ -715,7 +715,7 @@ long mf_inflate_dict(const uint8_t *in, long n, uint8_t *out, long cap,
                     rep = 3; nb2 = 2; bval = lens[i - 1];
                 } else if (x == 17) { rep = 3; nb2 = 3; bval = 0; }
                 else { rep = 11; nb2 = 7; bval = 0; }
-                if (!br_need(&r, (unsigned)nb2)) { err = -4; goto done; }
+                if (!br_need(&r, (unsigned)nb2)) goto done_ok;  /* inflate.mbt:513 */
                 rep += (int)(r.b & ((1u << nb2) - 1));
                 r.b >>= nb2; r.nb -= (unsigned)nb2;
                 if (i + rep > tot) goto done;
@@ -741,13 +741,13 @@ long mf_inflate_dict(const uint8_t *in, long n, uint8_t *out, long cap,
             int lc = v - 257;
             int length = length_base[lc];
             if (length_extra[lc]) {
-                if (!br_need(&r, (unsigned)length_extra[lc])) { err = -4; goto done; }
+                if (!br_need(&r, (unsigned)length_extra[lc])) goto done_ok;  /* inflate.mbt:620 */
                 length += (int)(r.b & ((1u << length_extra[lc]) - 1));
                 r.b >>= length_extra[lc]; r.nb -= (unsigned)length_extra[lc];
             }
             int dist;
             if (hd == NULL) {
-                if (!br_need(&r, 5)) { err = -4; goto done; }
+                if (!br_need(&r, 5)) goto done_ok;       /* raw eof: inflate.mbt:634 */
                 dist = rev_tab[(r.b & 0x1f) << 11] & 0xff;  /* reverse 5 bits */
                 r.b >>= 5; r.nb -= 5;
             } else {
@@ -758,7 +758,7 @@ long mf_inflate_dict(const uint8_t *in, long n, uint8_t *out, long cap,
             if (dist >= MAX_NUM_DIST) goto done;
             int db = offset_base[dist];
             if (offset_extra[dist]) {
-                if (!br_need(&r, (unsigned)offset_extra[dist])) { err = -4; goto done; }
+                if (!br_need(&r, (unsigned)offset_extra[dist])) goto done_ok;  /* inflate.mbt:663 */
                 db += (int)(r.b & ((1u << offset_extra[dist]) - 1));
                 r.b >>= offset_extra[dist]; r.nb -= (unsigned)offset_extra[dist];
             }
@@ -842,7 +842,7 @@ long mf_scan_tokens(const uint8_t *in, long n, int32_t *toks, long cap,
         const HDec *hl; const HDec *hd = NULL;
         if (typ == 1) hl = &hfixed2;
         else if (typ == 2) {
-            if (!br_need(&r, 14)) { err = -4; goto done; }
+            if (!br_need(&r, 14)) goto done_ok;          /* raw eof: inflate.mbt:432 */
             int nlit = (int)(r.b & 0x1f) + 257; r.b >>= 5;
             int ndist = (int)(r.b & 0x1f) + 1; r.b >>= 5;
             int nclen = (int)(r.b & 0xf) + 4; r.b >>= 4;
@@ -850,7 +850,7 @@ long mf_scan_tokens(const uint8_t *in, long n, int32_t *toks, long cap,
             if (nlit > MAX_NUM_LIT || ndist > MAX_NUM_DIST) goto done;
             uint8_t codebits[NUM_CODES]; memset(codebits, 0, sizeof codebits);
             for (int i = 0; i < nclen; i++) {
-                if (!br_need(&r, 3)) { err = -4; goto done; }
+                if (!br_need(&r, 3)) goto done_ok;       /* raw eof: inflate.mbt:455 */
                 codebits[codegen_order[i]] = (uint8_t)(r.b & 7);
                 r.b >>= 3; r.nb -= 3;
             }
@@ -868,7 +868,7 @@ long mf_scan_tokens(const uint8_t *in, long n, int32_t *toks, long cap,
                     rep = 3; nb2 = 2; bval = lens[i - 1];
                 } else if (x == 17) { rep = 3; nb2 = 3; bval = 0; }
                 else { rep = 11; nb2 = 7; bval = 0; }
-                if (!br_need(&r, (unsigned)nb2)) { err = -4; goto done; }
+                if (!br_need(&r, (unsigned)nb2)) goto done_ok;  /* inflate.mbt:513 */
                 rep += (int)(r.b & ((1u << nb2) - 1));
                 r.b >>= nb2; r.nb -= (unsigned)nb2;
                 if (i + rep > tot) goto done;
@@ -894,13 +894,13 @@ long mf_scan_tokens(const uint8_t *in, long n, int32_t *toks, long cap,
             int lc = v - 257;
             int length = length_base[lc];
             if (length_extra[lc]) {
-                if (!br_need(&r, (unsigned)length_extra[lc])) { err = -4; goto done; }
+                if (!br_need(&r, (unsigned)length_extra[lc])) goto done_ok;  /* inflate.mbt:620 */
                 length += (int)(r.b & ((1u << length_extra[lc]) - 1));
                 r.b >>= length_extra[lc]; r.nb -= (unsigned)length_extra[lc];
             }
             int dist;
             if (hd == NULL) {
-                if (!br_need(&r, 5)) { err = -4; goto done; }
+                if (!br_need(&r, 5)) goto done_ok;       /* raw eof: inflate.mbt:634 */
                 dist = rev_tab[(r.b & 0x1f) << 11] & 0xff;
                 r.b >>= 5; r.nb -= 5;
             } else {
@@ -911,7 +911,7 @@ long mf_scan_tokens(const uint8_t *in, long n, int32_t *toks, long cap,
             if (dist >= MAX_NUM_DIST) goto done;
             int db = offset_base[dist];
             if (offset_extra[dist]) {
-                if (!br_need(&r, (unsigned)offset_extra[dist])) { err = -4; goto done; }
+                if (!br_need(&r, (unsigned)offset_extra[dist])) goto done_ok;  /* inflate.mbt:663 */
                 db += (int)(r.b & ((1u << offset_extra[dist]) - 1));
                 r.b >>= offset_extra[dist]; r.nb -= (unsigned)offset_extra[dist];
             }

@@ -84,10 +84,21 @@ def _zlib_verdict(stream):
 
 
 def test_fuzz_native_vs_zlib_bulk():
-    """10k mutated streams through the native decoder."""
+    """10k mutated streams through the native decoder.
+
+    Accept/reject verdicts may differ from zlib in two documented ways:
+
+    - the reference surfaces a *clean* EOF when the stream ends at any
+      direct more_bits fill site (inflate.mbt:347,432,455,513,620,634,
+      663 propagate the raw ioeof), so truncated streams zlib rejects
+      can decode here — but then our bytes must be exactly zlib's
+      *partial* decode of the same stream (we never fabricate output);
+    - zlib tolerates incomplete distance trees (RFC note) that the
+      reference rejects (inflate.mbt:161-163) — rare, bounded below.
+    """
     rng = random.Random(1)
     bases = _base_streams()
-    n_zlib_disagree = 0
+    n_reject_only_ours = 0
     for i in range(10_000):
         _, s = bases[i % len(bases)]
         m = _mutate(rng, s)
@@ -95,10 +106,21 @@ def test_fuzz_native_vs_zlib_bulk():
         ok_z, out_z = _zlib_verdict(m)
         if ok_n and ok_z:
             assert out_n == out_z, f"iter {i}: accepted with different bytes"
-        if ok_n != ok_z:
-            n_zlib_disagree += 1
-    # semantic corner cases exist (see module docstring) but must stay rare
-    assert n_zlib_disagree < 200, n_zlib_disagree
+        elif ok_n and not ok_z:
+            # clean-EOF acceptance of a truncated stream: bytes must match
+            # zlib's partial decode exactly (no fabricated output)
+            dco = zlib.decompressobj(-15)
+            try:
+                partial = dco.decompress(m)
+            except zlib.error:
+                partial = None
+            assert partial is not None and out_n == partial, (
+                f"iter {i}: accepted bytes diverge from zlib partial decode"
+            )
+        elif ok_z and not ok_n:
+            n_reject_only_ours += 1
+    # incomplete-tree corner cases must stay rare
+    assert n_reject_only_ours < 100, n_reject_only_ours
 
 
 def test_fuzz_python_matches_native():
