@@ -1,22 +1,32 @@
 #!/usr/bin/env python
-"""Benchmark harness: single-chip encode throughput on a Silesia-like corpus.
+"""Benchmark harness: single-chip encode + decode throughput on a
+Silesia-like corpus.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-vs_baseline is measured against the north-star encode target of
-1 GB/s/chip (BASELINE.json: the reference publishes no numbers, so the
-driver-set target is the denominator).  The run verifies bit-exact
-round-trips through zlib before timing; a correctness failure reports
-value 0.
+The headline metric is encode throughput; extras carry decode
+throughput (native stage A + TPU stage B, and the native C decoder),
+compression ratio, and per-block-type/token observability counters
+(SURVEY.md §5.5).  vs_baseline is measured against the north-star
+encode target of 1 GB/s/chip (BASELINE.json: the reference publishes no
+numbers, so the driver-set target is the denominator).  The run
+verifies bit-exact round-trips through zlib before timing; a
+correctness failure reports value 0.
+
+MF_BENCH_SMOKE=1 runs a tiny-corpus CPU variant as the `make check`
+gate.
 """
 
 import json
+import os
 import sys
 import time
 import zlib
 
 import numpy as np
+
+SMOKE = os.environ.get("MF_BENCH_SMOKE") == "1"
 
 
 def make_corpus(total=16 * (1 << 20), seed=0):
@@ -48,17 +58,41 @@ def make_corpus(total=16 * (1 << 20), seed=0):
     return b"".join(parts)[:total]
 
 
+def _count_block_types(streams) -> dict:
+    """Observability (SURVEY §5.5): stored/fixed/dynamic block counts,
+    via a header walk with the pure-python streaming decoder."""
+    from moonbit_flate_tpu.inflate.decoder import Decompressor
+
+    counts = {"stored": 0, "fixed": 0, "dynamic": 0}
+    for s in streams:
+        d = Decompressor(s)
+        while True:
+            try:
+                if not d.read(1 << 16):
+                    break
+            except Exception:
+                break
+        bt = getattr(d, "block_type_counts", None)
+        if bt:
+            for k in counts:
+                counts[k] += bt.get(k, 0)
+    return counts
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
+    from moonbit_flate_tpu import native
     from moonbit_flate_tpu.ops.pipeline import BLOCK, PAD, encode_segments
 
-    nb = 16
+    nb = 4 if SMOKE else 16
     seg = nb * BLOCK
-    corpus = make_corpus()
+    corpus = make_corpus(total=(2 * seg if SMOKE else 16 * (1 << 20)))
     n_segs = len(corpus) // seg
     corpus = corpus[: n_segs * seg]
 
@@ -86,23 +120,67 @@ def main():
         return 1
 
     # steady-state timing (compressed bits stay on device)
-    reps = 3
+    reps = 1 if SMOKE else 3
     t0 = time.time()
     for _ in range(reps):
         wb, bb = encode_segments(xb, n_arr, ctx0, nb)
     bb.block_until_ready()
+    np.asarray(bb)  # force host sync through the tunnel
     dt = (time.time() - t0) / reps
     nbytes = n_segs * seg
     gbps = nbytes / dt / 1e9
     ratio = sum(int(b) // 8 for b in bits_h) / nbytes
+
+    extra = {"compression_ratio": round(ratio, 4),
+             "corpus_mb": nbytes / 1e6,
+             "ms_per_mb": round(dt / (nbytes / 1e6) * 1000, 2)}
+
+    # ---- observability counters (SURVEY §5.5) ---------------------------
+    try:
+        from moonbit_flate_tpu.inflate.tpu_inflate import scan_tokens
+        tok_counts = {"literals": 0, "matches": 0}
+        for s in outs[: (1 if SMOKE else len(outs))]:
+            toks = scan_tokens(s)
+            tok_counts["matches"] += int((toks < 0).sum())
+            tok_counts["literals"] += int((toks >= 0).sum())
+        extra["tokens"] = tok_counts
+    except Exception:
+        pass
+    extra["blocks"] = _count_block_types(outs[: (1 if SMOKE else len(outs))])
+
+    # ---- decode throughput ----------------------------------------------
+    # native C decoder (host single core)
+    if native.available():
+        t0 = time.time()
+        dec = b"".join(native.decompress(s) for s in outs)
+        dt_n = time.time() - t0
+        assert dec == corpus
+        extra["decode_native_gbps"] = round(nbytes / dt_n / 1e9, 4)
+
+    # TPU path: batched Pallas stage A + data-parallel stage B, whole
+    # corpus in flight (stage A is one dispatch over all segments).
+    # Skipped in smoke mode: the interpreter executes the scalar parse
+    # per-token in Python (covered instead by tests/test_parse_pallas.py).
+    if not SMOKE:
+        try:
+            from moonbit_flate_tpu.inflate.tpu_inflate import \
+                decompress_segments
+
+            outs_dec = decompress_segments(outs, [seg] * n_segs)
+            assert b"".join(outs_dec) == corpus
+            t0 = time.time()
+            outs_dec = decompress_segments(outs, [seg] * n_segs)
+            dt_d = time.time() - t0
+            extra["decode_tpu_gbps"] = round(nbytes / dt_d / 1e9, 4)
+        except Exception as e:  # pragma: no cover - report, don't mask
+            extra["decode_tpu_error"] = repr(e)[:200]
+
     print(json.dumps({
         "metric": "encode_throughput_silesia_like",
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / 1.0, 4),
-        "extra": {"compression_ratio": round(ratio, 4),
-                  "corpus_mb": nbytes / 1e6,
-                  "ms_per_mb": round(dt / (nbytes / 1e6) * 1000, 2)},
+        "extra": extra,
     }))
     return 0
 

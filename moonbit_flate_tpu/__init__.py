@@ -29,8 +29,8 @@ def compress(data: bytes, dictionary: bytes | None = None,
     """One-shot BestSpeed raw-DEFLATE compression.
 
     backend 'auto' prefers the native fast path, falling back to pure
-    Python; 'tpu' runs the device pipeline (no writer-dict support there
-    yet — it raises if a dictionary is passed).
+    Python; 'tpu' runs the device pipeline (dictionaries there follow
+    reader-style preset semantics, SURVEY §2.9.4).
     """
     if backend == "auto":
         backend = "native" if _native.available() else "python"

@@ -100,6 +100,8 @@ class Decompressor:
         self.hd = None
         self.copy_len = 0
         self.copy_dist = 0
+        # observability (SURVEY §5.5): blocks seen per type
+        self.block_type_counts = {"stored": 0, "fixed": 0, "dynamic": 0}
 
     # -- reuse hooks (inflate.mbt:857-883) ---------------------------------
 
@@ -163,12 +165,15 @@ class Decompressor:
         self.b >>= 3
         self.nb -= 3
         if typ == 0:
+            self.block_type_counts["stored"] += 1
             self._data_block()
         elif typ == 1:
+            self.block_type_counts["fixed"] += 1
             self.hl = FIXED_LITERAL_DECODER
             self.hd = None
             self._huffman_block()
         elif typ == 2:
+            self.block_type_counts["dynamic"] += 1
             self.err = self._read_huffman()
             if self.err is None:
                 self.hl = self.h1

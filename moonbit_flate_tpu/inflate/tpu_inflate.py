@@ -4,11 +4,11 @@ DEFLATE decode splits into two very different computations
 (SURVEY.md §7.6):
 
 - *Stage A — symbol parsing* is bit-serial by construction (variable
-  length codes, tables defined mid-stream).  It runs on the scalar side:
-  the native C scanner (``mf_scan_tokens``) emits one packed i32 token
-  record per symbol at ~memory speed.  A Pallas scalar-core port of the
-  scanner (same shape as ops/commit_pallas.py) is the planned follow-up
-  so the whole decode stays on-device.
+  length codes, tables defined mid-stream).  It runs on a scalar core:
+  either the Pallas parser (ops/parse_pallas.py — the TPU scalar core,
+  batched over independent streams, keeping the whole decode on-device)
+  or the native C scanner (``mf_scan_tokens``).  Both emit the same
+  packed i32 token records.
 - *Stage B — byte materialization* touches every output byte and is the
   throughput-critical part.  Here it is fully parallel on the TPU: token
   output offsets come from a prefix sum; every output byte's ultimate
@@ -114,10 +114,78 @@ def _round_up(x: int, quantum: int = 1 << 18) -> int:
     return ((x + quantum - 1) // quantum) * quantum
 
 
-def decompress(data: bytes, dictionary: bytes = b"") -> bytes:
-    """Raw-DEFLATE decode: native stage A + TPU stage B."""
+def scan_tokens_device(data: bytes, max_out_bytes: int | None = None,
+                       interpret: bool = False) -> np.ndarray:
+    """Stage A on the TPU scalar core (ops/parse_pallas.py).
+
+    Raises the same error classes as the native scanner.  Token capacity
+    is sized from max_out_bytes (every output byte can cost one token).
+    """
+    from ..ops.parse_pallas import OUT_CHUNK, parse_stream
+
+    data = bytes(data)
+    if max_out_bytes is None:
+        max_out_bytes = max(4096, len(data) * 1040)
+    n_chunks = -(-(max_out_bytes + 1) // OUT_CHUNK)
+    while True:
+        toks, status, outpos = parse_stream(data, max_out_chunks=n_chunks,
+                                            interpret=interpret)
+        if status == 0:     # capacity exhausted: grow and retry
+            n_chunks *= 4
+            continue
+        if status == -4:
+            raise UnexpectedEOFError()
+        if status < 0:
+            raise CorruptInputError(-1)
+        return toks
+
+
+def decompress_segments(streams: list[bytes], out_sizes: list[int],
+                        interpret: bool = False) -> list[bytes]:
+    """Fully on-device decode of B independent raw-DEFLATE streams:
+    batched Pallas stage A (one dispatch) + stage B per stream.
+
+    out_sizes are upper bounds on each stream's decompressed size (the
+    segment geometry is known to callers — the multi-chip layer and the
+    bench both shard fixed-size segments).
+    """
+    from ..ops.parse_pallas import OUT_CHUNK, _stage_streams, parse_batch
+
+    if not streams:
+        return []
+    cap = max(max(out_sizes), 1)
+    n_chunks = -(-(cap + 1) // OUT_CHUNK)
+    nbits, words = _stage_streams(streams)
+    toks, cnt = parse_batch(nbits, words, n_chunks, interpret=interpret)
+    cnt_h = np.asarray(cnt)
+    outs = []
+    nt_pad = _round_up(int(toks.shape[1]))
+    no_pad = _round_up(cap + 1)
+    toks_pad = jnp.pad(toks, ((0, 0), (0, nt_pad - toks.shape[1])))
+    for i in range(len(streams)):
+        status = int(cnt_h[i, 1])
+        if status == -4:
+            raise UnexpectedEOFError()
+        if status != 1:
+            raise CorruptInputError(-1)
+        n_out = int(cnt_h[i, 2])
+        out, _ = resolve_tokens(toks_pad[i], nt_pad, no_pad)
+        outs.append(np.asarray(out[:n_out]).tobytes())
+    return outs
+
+
+def decompress(data: bytes, dictionary: bytes = b"",
+               parse_on_device: bool = False) -> bytes:
+    """Raw-DEFLATE decode: stage A (native C scanner, or the Pallas
+    parser with parse_on_device=True) + TPU stage B."""
     dictionary = bytes(dictionary)[-32768:]
-    toks = scan_tokens(data, dictionary)
+    if parse_on_device and not dictionary:
+        # (with a preset dictionary the distance-vs-history check needs
+        # the dict length; the native scanner takes it, the kernel's
+        # history starts at 0 — route dict streams through the scanner)
+        toks = scan_tokens_device(data)
+    else:
+        toks = scan_tokens(data, dictionary)
     if dictionary:
         dict_toks = np.frombuffer(dictionary, np.uint8).astype(np.int32)
         toks = np.concatenate([dict_toks, toks])

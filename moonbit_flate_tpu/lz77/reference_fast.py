@@ -10,7 +10,7 @@ deflate-fast.mbt:348-389).
 
 It exists to (a) pin down the compressed-size parity bar the TPU encoder
 is measured against, and (b) serve as a differential-test oracle for the
-vectorized matcher in ``lz77/tpu_matcher.py``.  The hot-loop C twin lives
+vectorized matcher in ``ops/matcher.py``.  The hot-loop C twin lives
 in ``native/``; this Python version favors clarity and uses NumPy only for
 bulk precomputation (32-bit loads, hashes) and match extension.
 """

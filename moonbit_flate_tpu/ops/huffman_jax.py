@@ -173,7 +173,9 @@ def canonical_codes(lengths: jnp.ndarray) -> jnp.ndarray:
         return code, code
 
     _, next_codes = jax.lax.scan(
-        nc_step, jnp.int32(0), jnp.arange(1, max_len + 1)
+        # carry seeded from data (not a constant) so its sharding
+        # variance matches the body output under shard_map VMA checking
+        nc_step, bl_count[0] * 0, jnp.arange(1, max_len + 1)
     )
     next_code = jnp.concatenate([jnp.zeros(1, jnp.int32), next_codes])  # [16]
 

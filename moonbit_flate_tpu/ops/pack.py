@@ -47,60 +47,104 @@ def _k_words(level: int) -> int:
     return (UNIT_BITS * (1 << level) - 1) // 32 + 2
 
 
+GROUP = 32                      # units funneled per group in one shot
+GROUP_LOG = 5
+K_GROUP = (UNIT_BITS * GROUP - 1) // 32 + 2   # 29 words covers 928 bits
+
+
 def _merge_levels(values: jnp.ndarray, widths: jnp.ndarray):
     """Phase A: units -> row-aligned entities.
 
     Returns (ents [M, ROWS, 128] u32, rows [M] i32, total_bits i32).
+
+    Two tiers (both shaped by a measured TPU pathology: arrays with a
+    tiny dimension — whether on lanes or sublanes — are processed at
+    gather-like ~14 ns/element, so the pairwise merge is unaffordable
+    while N is in the millions; levels 0-4 of the original hierarchical
+    merge cost ~48 ms/MB in either orientation):
+
+    1. *Group funnel*: 32 consecutive units collapse straight into one
+       29-word group buffer.  Word k of each group is a masked sum of
+       the group's units' shifted values — a static 29-step loop of
+       [NG, 32] compare/select/row-reduce passes, all dense VPU work
+       with no strided access (bits of distinct units are disjoint, so
+       add == or).  Buffers live TRANSPOSED as [29, NG].
+    2. *Pairwise merge* for the remaining 3 levels (32 -> 256 units per
+       entity), where N <= ~65k makes the strided even/odd slicing
+       cheap (measured ~0.3 ms total), then the 128-word row alignment.
     """
     NU = values.shape[0]
     NUP = -(-NU // (1 << LEVELS)) * (1 << LEVELS)
     widths = widths.astype(jnp.uint32)
     v = values.astype(jnp.uint32) & ((jnp.uint32(1) << widths) - jnp.uint32(1))
-    csum = jnp.cumsum(widths)
-    offsets = jnp.concatenate([jnp.zeros(1, jnp.uint32), csum[:-1]])
-    total_bits = csum[-1].astype(jnp.int32)
-
-    # level-0: every unit as a 2-word buffer at its absolute alignment
-    sh = offsets & jnp.uint32(31)
-    lo = v << sh
-    hi = (v >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
     pad = NUP - NU
-    cur = jnp.stack([lo, hi], axis=1)                      # [NU, 2]
-    F = (offsets >> 5).astype(jnp.int32)                   # first word
     if pad:
-        cur = jnp.concatenate([cur, jnp.zeros((pad, 2), jnp.uint32)])
-        F = jnp.concatenate(
-            [F, jnp.full(pad, (csum[-1] >> 5).astype(jnp.int32), jnp.int32)]
-        )
+        v = jnp.concatenate([v, jnp.zeros(pad, jnp.uint32)])
+        widths = jnp.concatenate([widths, jnp.zeros(pad, jnp.uint32)])
 
-    for level in range(LEVELS):
-        K = cur.shape[1]
+    NG = NUP // GROUP
+    w2 = widths.reshape(NG, GROUP)
+    gw = jnp.sum(w2, axis=1)                               # [NG] group bits
+    gstart = jnp.concatenate(
+        [jnp.zeros(1, jnp.uint32), jnp.cumsum(gw)[:-1]]
+    )
+    total_bits = (gstart[-1] + gw[-1]).astype(jnp.int32)
+
+    # in-group exclusive bit offsets and per-unit word contributions
+    lo_in = jnp.cumsum(w2, axis=1) - w2                    # [NG, GROUP]
+    v2 = v.reshape(NG, GROUP)
+    s = lo_in & jnp.uint32(31)
+    lo32 = v2 << s
+    hi32 = (v2 >> jnp.uint32(1)) >> (jnp.uint32(31) - s)
+    wl = (lo_in >> 5).astype(jnp.int32)                    # 0 .. K_GROUP-2
+
+    cols = []
+    for k in range(K_GROUP):
+        c = jnp.sum(jnp.where(wl == k, lo32, jnp.uint32(0)), axis=1)
+        if k > 0:
+            c = c | jnp.sum(jnp.where(wl == k - 1, hi32, jnp.uint32(0)),
+                            axis=1)
+        cols.append(c)
+    cur = jnp.stack(cols, axis=0)                          # [K_GROUP, NG]
+
+    # word-align each group: shift by gstart % 32 bits (content <= 896
+    # bits + 31 shift fits the 29 words)
+    t = (gstart & jnp.uint32(31))[None, :]
+    prev = jnp.concatenate(
+        [jnp.zeros((1, NG), jnp.uint32), cur[:-1]], axis=0
+    )
+    cur = (cur << t) | ((prev >> jnp.uint32(1)) >> (jnp.uint32(31) - t))
+    F = (gstart >> 5).astype(jnp.int32)                    # group word home
+
+    # pairwise merge: 32-unit groups -> 256-unit entities (3 levels)
+    for level in range(GROUP_LOG, LEVELS):
+        K = cur.shape[0]
         K_next = _k_words(level + 1)
-        even, odd = cur[0::2], cur[1::2]
+        even, odd = cur[:, 0::2], cur[:, 1::2]
         Fe, Fo = F[0::2], F[1::2]
         d = Fo - Fe                                        # 0 .. K_l
         grow = K_next - K
-        even = jnp.pad(even, ((0, 0), (0, grow)))
-        odd = jnp.pad(odd, ((0, 0), (0, grow)))
+        even = jnp.pad(even, ((0, grow), (0, 0)))
+        odd = jnp.pad(odd, ((0, grow), (0, 0)))
         # d <= 28*2^level // 32 + 1 == K - 1, so (K-1).bit_length() digits
         nbits = max(1, (K - 1).bit_length())
         for b in range(nbits):
-            s = 1 << b
-            shifted = jnp.pad(odd, ((0, 0), (s, 0)))[:, :K_next]
-            odd = jnp.where(((d & s) > 0)[:, None], shifted, odd)
+            sft = 1 << b
+            shifted = jnp.pad(odd, ((sft, 0), (0, 0)))[:K_next]
+            odd = jnp.where(((d & sft) > 0)[None, :], shifted, odd)
         cur = even | odd
         F = Fe
 
     # align every entity to a 128-word row boundary: shift by F % 128
-    M, K = cur.shape
-    cur = jnp.pad(cur, ((0, 0), (0, ROWS * 128 - K)))
+    K, M = cur.shape
+    cur = jnp.pad(cur, ((0, ROWS * 128 - K), (0, 0)))
     c = F & 127
     for b in range(7):
-        s = 1 << b
-        shifted = jnp.pad(cur, ((0, 0), (s, 0)))[:, : ROWS * 128]
-        cur = jnp.where(((c & s) > 0)[:, None], shifted, cur)
+        sft = 1 << b
+        shifted = jnp.pad(cur, ((sft, 0), (0, 0)))[: ROWS * 128]
+        cur = jnp.where(((c & sft) > 0)[None, :], shifted, cur)
     rows = F >> 7
-    return cur.reshape(M, ROWS, 128), rows, total_bits
+    return cur.T.reshape(M, ROWS, 128), rows, total_bits
 
 
 def _place_kernel(rows_ref, ent_ref, out_ref):

@@ -41,7 +41,7 @@ import numpy as np
 
 from ..formats import constants as C
 from . import tables as T
-from .dense import hist_rows, take1d, take1d_stack, take_rows, take_rows_stack
+from .dense import hist_rows, take_rows, take_rows_stack
 from .header import SEQ_LEN, codegen_emissions
 from .huffman_jax import build_codes
 from .matcher import (extend_matches_xla, find_matches, greedy_commit_xla,
@@ -163,7 +163,7 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
 
     xlen = jnp.where(is_match, mlen - 3, 0)
     xoff = jnp.where(is_match, dist - 1, 0)
-    lc = take1d(T.LENGTH_CODES, jnp.clip(xlen, 0, 255))
+    lc = T.length_code(jnp.clip(xlen, 0, 255))
     dc = T.offset_code(xoff)
     data = data_padded[:S].astype(jnp.int32)
     sym = jnp.where(is_match, 257 + lc, data)
@@ -274,7 +274,8 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
         return (bitpos8 + chosen) % 8, (use_stored, pad)
 
     _, (use_stored, pad_b) = jax.lax.scan(
-        policy_step, jnp.int32(0), (dyn_bits, n_b, live_b)
+        # data-seeded carry: see huffman_jax.canonical_codes (VMA note)
+        policy_step, dyn_bits[0] * 0, (dyn_bits, n_b, live_b)
     )
 
     # ---- stage 6: unit assembly (dense lookups, reshape/concat only) -------
@@ -318,11 +319,9 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
         jnp.stack([lit_codes, lit_lens], axis=-1), sym_b
     )
     lit_code_g, lit_len_g = lit_cl[..., 0], lit_cl[..., 1]
-    len_tabs = take1d_stack(
-        jnp.stack([T.LENGTH_EXTRA_BITS, T.LENGTH_BASE], axis=-1), lc_b
-    )
-    leb = jnp.where(is_match_b, len_tabs[..., 0], 0)
-    len_ev = jnp.where(is_match_b, xlen_b - (len_tabs[..., 1] - 3), 0)
+    len_base_b, len_eb_b = T.length_base_extra(lc_b)
+    leb = jnp.where(is_match_b, len_eb_b, 0)
+    len_ev = jnp.where(is_match_b, xlen_b - (len_base_b - 3), 0)
 
     st_b = st[:, None]
     dyn_b = dyn_sel[:, None]
@@ -340,11 +339,9 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
         jnp.stack([off_codes, off_lens], axis=-1), dc_b
     )
     off_code_g, off_len_g = off_cl[..., 0], off_cl[..., 1]
-    off_tabs = take1d_stack(
-        jnp.stack([T.OFFSET_EXTRA_BITS, T.OFFSET_BASE], axis=-1), dc_b
-    )
-    oeb = off_tabs[..., 0]
-    off_ev = xoff_b - (off_tabs[..., 1] - 1)
+    off_base_b, off_eb_b = T.offset_base_extra(dc_b)
+    oeb = off_eb_b
+    off_ev = xoff_b - (off_base_b - 1)
     u1_val = jnp.where(m_dyn, off_code_g | (off_ev << off_len_g), 0)
     u1_wid = jnp.where(m_dyn, off_len_g + oeb, 0)
 

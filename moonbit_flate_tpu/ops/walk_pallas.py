@@ -234,7 +234,7 @@ def walk_batch(bits: jnp.ndarray, minfo: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, CHUNK), lambda g, t, s: (g, t),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, _NWP), lambda g, t, s: (g, t),

@@ -5,14 +5,23 @@ TPU-native equivalent of the reference's (absent) distribution story
 our segments are additionally byte-aligned and history-independent
 (ops/pipeline.py), so scaling is pure data parallelism:
 
-  shard segments over the 'data' mesh axis (and sub-segments over the
-  'seq' axis for long inputs) -> each device runs the full jit encode
-  pipeline on its shard -> compressed sizes are combined with psum /
-  all_gather over ICI -> the host performs the ordered stitch and
-  appends the close-time final empty stored block (deflate.mbt:171-176).
+  shard segments over the 'data' mesh axis -> each device runs the full
+  jit encode pipeline on its shard -> per-shard byte sizes are
+  all-gathered over ICI -> an exclusive prefix sum places every shard's
+  words at its absolute byte offset in the output stream -> one psum
+  assembles the stream ON DEVICE (regions are byte-disjoint, so
+  add == or) -> the host appends the close-time final empty stored
+  block (deflate.mbt:171-176).
 
-No other collectives are needed; recovery from a lost shard is re-running
-that shard (blocks are independent, SURVEY §5.3).
+Context flows in as a per-shard prefix (reader-style preset-dict
+semantics, inflate.mbt:315-317): ``dictionary=`` seeds shard 0, and
+``halo=True`` hands each later shard the previous shard's 32 KB tail so
+cross-shard matches survive sharding — the decoder needs no signalling
+because the stitched stream is one ordinary DEFLATE stream whose window
+naturally spans segment boundaries.
+
+No other collectives are needed; recovery from a lost shard is
+re-running that shard (blocks are independent, SURVEY §5.3).
 """
 
 from __future__ import annotations
@@ -28,7 +37,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..api.tpu import FINAL_EMPTY_BLOCK
-from ..ops.pipeline import BLOCK, PAD, encode_segment
+from ..formats import constants as C
+from ..ops.pipeline import BLOCK, PAD, encode_segment_ctx
 
 
 def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
@@ -37,66 +47,117 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
 
 
 def make_sharded_encoder(mesh: Mesh, nb: int):
-    """Build the jitted multi-device encode step.
+    """Build the jitted multi-device encode + on-device stitch step.
 
     Input:  data uint8[D, nb*BLOCK+PAD] sharded over 'data',
-            n int32[D] valid byte counts.
-    Output: words uint32[D, W] sharded, bits int32[D] sharded,
-            total_bits int32 replicated (psum over ICI).
+            n int32[D] valid byte counts (context + payload),
+            ctx int32[D] context-prefix lengths.
+    Output: stream uint32[GW] replicated assembled stream words,
+            sizes int32[D] per-shard compressed byte counts (replicated),
+            total int32 total stream bytes (replicated).
     """
+    D = mesh.devices.size
+    W = (8 * nb * BLOCK + nb * 64 + 64) // 32 + 2   # per-shard word cap
+    GW = D * W + 2                                   # global stream words
 
     @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("data", None), P("data")),
-        out_specs=(P("data", None), P("data"), P()),
-        # the pipeline mixes shard-varying data with replicated loop
-        # carries (e.g. extension-round state); skip the VMA strictness
-        check_vma=False,
+        in_specs=(P("data", None), P("data"), P("data")),
+        out_specs=(P(), P(), P()),
     )
-    def step(data, n):
-        words, bits = encode_segment(data[0], n[0], nb)
-        total = jax.lax.psum(bits, "data")
-        return words[None], bits[None], total[None]
+    def step(data, n, ctx):
+        words, bits = encode_segment_ctx(data[0], n[0], ctx[0], nb)
+        nbytes = bits // 8            # segments end byte-aligned
+        my = jax.lax.axis_index("data")
+        # psum'd one-hot == all_gather, but its replication is
+        # statically inferrable under shard_map's VMA checking
+        sizes = jax.lax.psum(
+            jnp.where(jnp.arange(D) == my, nbytes, 0), "data"
+        )                                                    # [D]
+        offset = jnp.sum(jnp.where(jnp.arange(D) < my, sizes, 0))
+        total = jax.lax.psum(nbytes, "data")
+
+        # place this shard's words at its absolute byte offset:
+        # byte-granular shift within a word, then a contiguous
+        # dynamic-update-slice at the word offset; psum assembles the
+        # stream (shard regions are byte-disjoint, add == or).
+        sh = (offset % 4).astype(jnp.uint32) * 8
+        w = words.astype(jnp.uint32)
+        lo = jnp.where(sh > 0, w << sh, w)
+        hi = jnp.where(sh > 0, (w >> 1) >> (31 - sh), 0)
+        seg = jnp.concatenate([lo, jnp.zeros(1, jnp.uint32)])
+        seg = seg.at[1:].set(seg[1:] | hi)
+        buf = jnp.zeros(GW, jnp.uint32)
+        buf = jax.lax.dynamic_update_slice(buf, seg, (offset // 4,))
+        stream = jax.lax.psum(buf, "data")
+        return stream, sizes, total
 
     return step
 
 
 class ShardedCompressor:
-    """Data-parallel one-shot compressor over all local devices."""
+    """Data-parallel one-shot compressor over a device mesh.
 
-    def __init__(self, mesh: Mesh | None = None, blocks_per_segment: int = 16):
+    ``dictionary=`` is a reader-style preset dictionary (the decoder must
+    be constructed with the same dictionary); ``halo=True`` feeds each
+    shard the previous shard's 32 KB tail as context, recovering
+    cross-shard matches (the output is still one plain DEFLATE stream).
+    """
+
+    def __init__(self, mesh: Mesh | None = None, blocks_per_segment: int = 16,
+                 halo: bool = False):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.nb = blocks_per_segment
         self.seg = self.nb * BLOCK
+        self.halo = halo
         self.n_dev = self.mesh.devices.size
         self._step = make_sharded_encoder(self.mesh, self.nb)
 
-    def compress(self, data: bytes) -> bytes:
+    def compress(self, data: bytes, dictionary: bytes | None = None) -> bytes:
         data = bytes(data)
-        D, seg = self.n_dev, self.seg
+        D = self.n_dev
+        context = bytes(dictionary or b"")[-C.WINDOW_SIZE:]
+        payload_cap = self.seg - (
+            C.WINDOW_SIZE if (self.halo or context) else 0
+        )
+        if payload_cap <= 0:
+            raise ValueError("segment too small for context")
         out: list[bytes] = []
-        wave = D * seg
+        wave = D * payload_cap
         for wstart in range(0, max(len(data), 1), wave):
-            chunk = data[wstart : wstart + wave]
-            batch = np.zeros((D, seg + PAD), np.uint8)
+            batch = np.zeros((D, self.seg + PAD), np.uint8)
             ns = np.zeros(D, np.int32)
+            cs = np.zeros(D, np.int32)
             for d in range(D):
-                part = chunk[d * seg : (d + 1) * seg]
-                ns[d] = len(part)
-                batch[d, : len(part)] = np.frombuffer(part, np.uint8)
-            words, bits, _total = self._step(jnp.asarray(batch), jnp.asarray(ns))
-            words = np.asarray(words)
-            bits = np.asarray(bits)
-            for d in range(D):
-                if ns[d] == 0:
-                    continue
-                nbytes = int(bits[d]) // 8
-                out.append(words[d].view("<u4").tobytes()[:nbytes])
+                start = wstart + d * payload_cap
+                part = data[start : start + payload_cap]
+                if self.halo:
+                    ctxd = data[max(0, start - C.WINDOW_SIZE) : start]
+                    if wstart == 0 and d == 0:
+                        ctxd = context
+                elif wstart == 0 and d == 0:
+                    ctxd = context
+                else:
+                    ctxd = b""
+                cs[d] = len(ctxd)
+                ns[d] = len(ctxd) + len(part)
+                if ctxd:
+                    batch[d, : len(ctxd)] = np.frombuffer(ctxd, np.uint8)
+                if part:
+                    batch[d, len(ctxd) : ns[d]] = np.frombuffer(part, np.uint8)
+            stream, sizes, total = self._step(
+                jnp.asarray(batch), jnp.asarray(ns), jnp.asarray(cs)
+            )
+            out.append(np.asarray(stream).view("<u4").tobytes()[: int(total)])
         out.append(FINAL_EMPTY_BLOCK)
         return b"".join(out)
 
 
-def compress(data: bytes, mesh: Mesh | None = None, blocks_per_segment: int = 16) -> bytes:
-    return ShardedCompressor(mesh, blocks_per_segment).compress(data)
+def compress(data: bytes, mesh: Mesh | None = None,
+             blocks_per_segment: int = 16, halo: bool = False,
+             dictionary: bytes | None = None) -> bytes:
+    return ShardedCompressor(mesh, blocks_per_segment, halo).compress(
+        data, dictionary
+    )

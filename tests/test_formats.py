@@ -62,3 +62,31 @@ def test_token_layout():
     assert (t >> C.TOKEN_LENGTH_SHIFT) & 0xFF == 10
     assert t & C.TOKEN_OFFSET_MASK == 100
     assert C.literal_token(65) == 65
+
+
+def test_closed_form_code_tables_match():
+    """ops.tables closed forms == the wire tables over their full domains
+    (token.mbt:30-61, huffman-bit-writer.mbt:49-78)."""
+    import jax.numpy as jnp
+
+    from moonbit_flate_tpu.ops import tables as T
+
+    xlen = jnp.arange(256)
+    lc = np.asarray(T.length_code(xlen))
+    assert np.array_equal(lc, np.asarray(C.LENGTH_CODES)), \
+        np.nonzero(lc != np.asarray(C.LENGTH_CODES))
+
+    lcodes = jnp.arange(29)
+    base, eb = T.length_base_extra(lcodes)
+    assert np.array_equal(np.asarray(base), np.asarray(C.LENGTH_BASE))
+    assert np.array_equal(np.asarray(eb), np.asarray(C.LENGTH_EXTRA_BITS))
+
+    xoff = jnp.arange(32768)
+    dc = np.asarray(T.offset_code(xoff))
+    expect = np.asarray(C.offset_code_array(np.arange(32768)))
+    assert np.array_equal(dc, expect)
+
+    dcodes = jnp.arange(30)
+    dbase, deb = T.offset_base_extra(dcodes)
+    assert np.array_equal(np.asarray(dbase), np.asarray(C.OFFSET_BASE))
+    assert np.array_equal(np.asarray(deb), np.asarray(C.OFFSET_EXTRA_BITS))

@@ -45,3 +45,46 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert int(out[1]) > 0
     g.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_sharded_uneven_and_empty_shards(mesh):
+    """Wave with fewer bytes than devices: trailing shards are empty."""
+    sc = ShardedCompressor(mesh, blocks_per_segment=1)
+    payload = b"short payload, most shards empty" * 100
+    c = sc.compress(payload)
+    assert zlib.decompress(c, wbits=-15) == payload
+
+
+def test_sharded_empty_input(mesh):
+    sc = ShardedCompressor(mesh, blocks_per_segment=1)
+    c = sc.compress(b"")
+    assert zlib.decompress(c, wbits=-15) == b""
+
+
+def test_sharded_halo_improves_ratio(mesh):
+    """halo=True recovers cross-shard matches: smaller output, same
+    round-trip (the stream is still one plain DEFLATE stream)."""
+    unit = bytes(np.random.default_rng(2).integers(0, 256, 20000, np.uint8))
+    payload = unit * 15  # heavy cross-segment redundancy (period < 32 KB)
+    plain = ShardedCompressor(mesh, blocks_per_segment=1).compress(payload)
+    halo = ShardedCompressor(mesh, blocks_per_segment=1,
+                             halo=True).compress(payload)
+    assert zlib.decompress(halo, wbits=-15) == payload
+    assert len(halo) < len(plain)
+
+
+def test_sharded_dictionary(mesh):
+    """Reader-style preset dictionary on the sharded path
+    (inflate.mbt:315-317 semantics)."""
+    from moonbit_flate_tpu.inflate.decoder import decompress as py_inflate
+
+    dictionary = b"the quick brown fox jumps over the lazy dog | " * 50
+    payload = dictionary[200:1800] * 3 + b" tail data"
+    sc = ShardedCompressor(mesh, blocks_per_segment=1)
+    c = sc.compress(payload, dictionary=dictionary)
+    d = zlib.decompressobj(wbits=-15, zdict=dictionary)
+    assert d.decompress(c) == payload
+    assert py_inflate(c, dictionary=dictionary) == payload
+    # the dictionary must actually help
+    plain = sc.compress(payload)
+    assert len(c) < len(plain)

@@ -59,3 +59,47 @@ def test_scan_token_semantics():
 def test_corrupt_stream_raises():
     with pytest.raises(FlateError):
         tpu_dec(b"\x01\x05\x00\x00\x00hello")
+
+
+def test_decompress_segments_device_parse():
+    """Fully on-device decode path: batched Pallas stage A (interpret
+    mode here) + stage B, over independent segment streams."""
+    from moonbit_flate_tpu.inflate.tpu_inflate import decompress_segments
+
+    rng = np.random.default_rng(9)
+    payloads = [
+        b"segment zero " * 50,
+        rng.integers(0, 256, 900, np.uint8).tobytes(),
+        b"ab" * 700,
+        b"",
+    ]
+    streams = []
+    for p in payloads:
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        streams.append(co.compress(p) + co.flush())
+    outs = decompress_segments(streams, [len(p) for p in payloads],
+                               interpret=True)
+    assert outs == payloads
+
+
+def test_decompress_parse_on_device():
+    from moonbit_flate_tpu.inflate.tpu_inflate import decompress
+
+    payload = b"on-device stage A parse " * 40
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    s = co.compress(payload) + co.flush()
+    import moonbit_flate_tpu.ops.parse_pallas as pp
+    import moonbit_flate_tpu.inflate.tpu_inflate as ti
+    orig = pp.parse_stream
+    # interpret mode on the CPU backend
+
+    def _interp(data, max_out_chunks=256, interpret=False, out_chunk=512):
+        return orig(data, max_out_chunks=max_out_chunks, interpret=True,
+                    out_chunk=out_chunk)
+
+    pp.parse_stream = _interp
+    ti_parse = ti.scan_tokens_device
+    try:
+        assert decompress(s, parse_on_device=True) == payload
+    finally:
+        pp.parse_stream = orig

@@ -1,13 +1,16 @@
 """Honest prefix ablation of the TPU encode pipeline.
 
-Times encode_segment_ctx cut after each stage (pipeline.py stage_cut),
-batched over the full bench corpus via lax.map in ONE dispatch per
-measurement.  Two lies this defeats (both bit us in round 2):
+Times encode_segment_ctx cut after each stage (pipeline.py stage_cut)
+with the ubench *slope* method: N chained applications inside one jit,
+cost = (t_N - t_1) / (N - 1).  This defeats the three lies the axon
+tunnel tells naive timers (round 2 findings, tools/ubench.py):
 
-- the axon tunnel memoizes identical dispatches -> every timed rep uses
-  a DIFFERENT corpus variant;
-- XLA dead-code-eliminates everything the returned value doesn't need
-  -> each cut returns a checksum of all live arrays (pipeline._cksum).
+- dispatches are ACKed before execution completes, so
+  block_until_ready() returns at round-trip latency;
+- identical dispatches are memoized;
+- XLA dead-code-eliminates stages the return value doesn't need
+  (each cut returns a checksum of all live arrays, pipeline._cksum,
+  and the chain feeds it back into the next iteration's input).
 
 Successive-cut differences are per-stage costs.  Usage:
     python tools/ablate_stages.py [cut ...]   # default: all
@@ -28,6 +31,7 @@ import numpy as np
 
 from bench import make_corpus
 from moonbit_flate_tpu.ops.pipeline import BLOCK, PAD, encode_segment_ctx
+from tools.ubench import slope
 
 NB = 16
 SEG = NB * BLOCK
@@ -44,53 +48,31 @@ LABELS = {
 }
 
 
-def make_variant(seed: int):
-    corpus = make_corpus(total=16 << 20, seed=seed)
-    n_segs = len(corpus) // SEG
-    buf = np.zeros((n_segs, SEG + PAD), np.uint8)
-    for i in range(n_segs):
-        buf[i, :SEG] = np.frombuffer(corpus[i * SEG : (i + 1) * SEG], np.uint8)
-    return (jnp.asarray(buf), jnp.full(n_segs, SEG, jnp.int32),
-            jnp.zeros(n_segs, jnp.int32))
-
-
-def batched(cut):
-    @jax.jit
-    def f(xb, nn, cc):
-        def one(args):
-            d, n_, c_ = args
-            w, b = encode_segment_ctx(d, n_, c_, NB, cut)
-            return jnp.sum(w.astype(jnp.uint32)), b
-        s, b = jax.lax.map(one, (xb, nn, cc))
-        return jnp.sum(s), jnp.sum(b)
-    return f
-
-
 def main():
     cuts = [int(a) if a != "full" else None for a in sys.argv[1:]] or \
         [1, 2, 3, 4, 5, 6, 7, None]
-    variants = [make_variant(s) for s in (0, 101, 202)]
-    nbytes = int(variants[0][0].shape[0]) * SEG
+    corpus = make_corpus(total=SEG + PAD, seed=0)
+    data0 = jnp.asarray(np.frombuffer(corpus, np.uint8))
+    n = jnp.int32(SEG)
+    ctx0 = jnp.int32(0)
+
     results = {}
     for cut in cuts:
-        f = batched(cut)
-        s, b = f(*variants[0])  # compile + warm
-        jax.block_until_ready((s, b))
-        best = float("inf")
-        for v in variants[1:]:
-            t0 = time.perf_counter()
-            s, b = f(*v)
-            jax.block_until_ready((s, b))
-            best = min(best, time.perf_counter() - t0)
-        results[cut] = best
+        def op(d, cut=cut):
+            w, b = encode_segment_ctx(d, n, ctx0, NB, cut)
+            probe = (jnp.sum(w.astype(jnp.uint32)) + b.astype(jnp.uint32))
+            return d.at[0].set((probe % 251).astype(jnp.uint8))
+
+        dt = slope(op, data0, n_hi=4, reps=2)
+        results[cut] = dt
         print(f"cut={str(cut):>4}  {LABELS[cut]:<40} "
-              f"{best*1e3:8.1f} ms  {best/ (nbytes/1e6) * 1e3:7.2f} ms/MB",
+              f"{dt*1e3:8.1f} ms  {dt / (SEG/1e6) * 1e3:7.2f} ms/MB",
               flush=True)
     prev = 0.0
     print("\nper-stage deltas:")
     for cut in cuts:
         d = results[cut] - prev
-        print(f"  {LABELS[cut]:<40} {d/ (nbytes/1e6) * 1e3:7.2f} ms/MB")
+        print(f"  {LABELS[cut]:<40} {d / (SEG/1e6) * 1e3:7.2f} ms/MB")
         prev = results[cut]
 
 

@@ -78,8 +78,9 @@ words0 = jnp.asarray(pb.view("<i4"))
 
 
 def s_walk(m):
-    b, mo = W.walk(grp0, m, words0, jnp.int32(0), n)
-    return m.at[0].set(mo[0] % 2)
+    b, mo = W.walk_batch(grp0[None], m[None], words0[None],
+                         jnp.zeros(1, jnp.int32), n.reshape(1))
+    return m.at[0].set(mo[0, 0] % 2)
 
 
 t("walk (pallas)", s_walk, minfo0)
