@@ -72,42 +72,83 @@ def resolve_tokens(tokens: jnp.ndarray, n_tokens_max: int, n_out_max: int):
     (zero = literal 0 contributing one byte; callers slice the result).
     Returns (out uint8[n_out_max], out_len int32).
     """
-    toks = tokens
+    out, out_len = resolve_tokens_batch(tokens[None], n_tokens_max,
+                                        n_out_max)
+    return out[0], out_len[0]
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def resolve_tokens_batch(tokens: jnp.ndarray, n_tokens_max: int,
+                         n_out_max: int):
+    """Batched stage B: int32[B, NT] -> (uint8[B, NO], int32[B]).
+
+    Streams are laid out in ONE flat index space (stream i's bytes at
+    [i*NO, (i+1)*NO)) so every array op is the single-stream graph at
+    B-fold size — no batch dims in gathers/scatters (a vmapped
+    take_along_axis formulation compiled pathologically).  The
+    root-chase is a shared early-exiting pointer-doubling loop (typical
+    corpora converge in a few rounds; 21 bounds the pathological case —
+    overlapping RLE copies are pre-folded modulo the distance so chain
+    depth tracks token nesting, not run length,
+    dict-decoder.mbt:136-149).
+    """
+    B, NT = tokens.shape
+    assert NT == n_tokens_max
+    NO = n_out_max
+    toks = tokens.reshape(-1)                              # [B*NT]
     is_match = toks < 0
     length = jnp.where(is_match, ((toks >> 15) & 0xFF) + 3, 1)
     dist = jnp.where(is_match, (toks & 0x7FFF) + 1, 0)
     lit = jnp.where(is_match, 0, toks & 0xFF)
 
-    out_off = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(length)[:-1]]
-    )
-    out_len = out_off[-1] + length[-1]
+    # per-stream exclusive prefix of output lengths, then flat offsets
+    csum = jnp.cumsum(length.reshape(B, NT), axis=1)
+    out_len = csum[:, -1]
+    out_off = (csum - length.reshape(B, NT)
+               + (jnp.arange(B, dtype=jnp.int32) * NO)[:, None]).reshape(-1)
+    stream_base = (jnp.arange(B * NO, dtype=jnp.int32) // NO) * NO
 
-    # covering token of each output byte: scatter token ids at their
-    # start offsets, then a running max fills the interiors.
+    # covering token of each output byte: scatter flat token ids at
+    # their start offsets, then a running max fills the interiors
+    # (stream i's first token id i*NT lands exactly at base i*NO, so
+    # the carried max never leaks across streams).  Padded zero-tokens
+    # can push offsets past a stream's region: clip them to the OWN
+    # stream's guard slot (base + NO - 1; real output is always shorter,
+    # so the guard never holds a live byte) — never into a neighbor.
+    tok_base = (jnp.arange(B * NT, dtype=jnp.int32) // NT) * NO
+    out_off = jnp.clip(out_off, tok_base, tok_base + NO - 1)
     tid0 = (
-        jnp.zeros(n_out_max, jnp.int32)
-        .at[jnp.minimum(out_off, n_out_max - 1)]
-        .max(jnp.arange(n_tokens_max, dtype=jnp.int32))
+        jnp.zeros(B * NO, jnp.int32)
+        .at[out_off]
+        .max(jnp.arange(B * NT, dtype=jnp.int32))
     )
     tid = jax.lax.associative_scan(jnp.maximum, tid0)
 
-    pos = jnp.arange(n_out_max, dtype=jnp.int32)
+    pos = jnp.arange(B * NO, dtype=jnp.int32)
     d = jnp.where(is_match[tid], dist[tid], 0)
-    jump = jnp.where(d > 0, pos - d, pos)
-    jump = jnp.clip(jump, 0, n_out_max - 1)
+    start = out_off[tid]
+    k = pos - start
+    jump = jnp.where(d > 0, start - d + k % jnp.maximum(d, 1), pos)
+    jump = jnp.clip(jump, stream_base, stream_base + NO - 1)
 
-    # root-chase: literals are fixed points, chains contract by doubling
-    def chase(_, j):
-        return j[j]
+    lit_at = jnp.zeros(B * NO, jnp.uint8).at[out_off].set(
+        lit.astype(jnp.uint8)
+    )
 
-    root = jax.lax.fori_loop(0, 21, chase, jump)
+    def cond(state):
+        j, changed, r = state
+        return changed & (r < 21)
 
-    lit_at = jnp.zeros(n_out_max, jnp.uint8).at[
-        jnp.minimum(out_off, n_out_max - 1)
-    ].set(lit.astype(jnp.uint8))
+    def body(state):
+        j, _, r = state
+        j2 = j[j]
+        return j2, jnp.any(j2 != j), r + 1
+
+    root, _, _ = jax.lax.while_loop(
+        cond, body, (jump, jnp.bool_(True), jnp.int32(0))
+    )
     out = lit_at[root]
-    return out, out_len
+    return out.reshape(B, NO), out_len
 
 
 def _round_up(x: int, quantum: int = 1 << 18) -> int:
@@ -158,20 +199,24 @@ def decompress_segments(streams: list[bytes], out_sizes: list[int],
     nbits, words = _stage_streams(streams)
     toks, cnt = parse_batch(nbits, words, n_chunks, interpret=interpret)
     cnt_h = np.asarray(cnt)
-    outs = []
-    nt_pad = _round_up(int(toks.shape[1]))
-    no_pad = _round_up(cap + 1)
-    toks_pad = jnp.pad(toks, ((0, 0), (0, nt_pad - toks.shape[1])))
     for i in range(len(streams)):
         status = int(cnt_h[i, 1])
         if status == -4:
             raise UnexpectedEOFError()
         if status != 1:
             raise CorruptInputError(-1)
-        n_out = int(cnt_h[i, 2])
-        out, _ = resolve_tokens(toks_pad[i], nt_pad, no_pad)
-        outs.append(np.asarray(out[:n_out]).tobytes())
-    return outs
+    # one batched stage-B dispatch; token rows sliced to the real
+    # maximum (padding quantum keeps compile geometries reusable)
+    nt_pad = _round_up(max(int(cnt_h[:, 0].max()), 1))
+    no_pad = _round_up(cap + 1)
+    if nt_pad <= toks.shape[1]:
+        toks_in = toks[:, :nt_pad]
+    else:
+        toks_in = jnp.pad(toks, ((0, 0), (0, nt_pad - toks.shape[1])))
+    out, _ = resolve_tokens_batch(toks_in, nt_pad, no_pad)
+    out_h = np.asarray(out)
+    return [out_h[i, : int(cnt_h[i, 2])].tobytes()
+            for i in range(len(streams))]
 
 
 def decompress(data: bytes, dictionary: bytes = b"",

@@ -8,10 +8,11 @@ gathers, which XLA lowers to ~7 ns/element scalar loops):
 1. *Candidates*: the nearest previous position holding the same 4 bytes,
    from one stable carry-sort of the 32-bit loads.  4-byte equality is
    exact (the sort key IS the bytes — no hash collisions, unlike the
-   reference's direct-mapped 14-bit table).  The next 4 bytes ride along
-   as a sort payload, so match lengths up to 8 are resolved by comparing
-   *adjacent sorted elements* — zero gathers.  A second carry-sort
-   (key = position) routes results back to position order.
+   reference's direct-mapped 14-bit table).  A second carry-sort
+   (key = position) routes candidates back to position order.  Sorts
+   carry exactly one payload: lengths are NOT resolved here (a third
+   next-4-bytes operand used to ride along for lengths up to 8; the
+   walk extends exactly anyway, so it was pure sort traffic).
 2. *Small distances (dist <= 8, the RLE regime)* get exact lengths up
    front from eight lag-compare run tables: eq_d[i] = (x[i] == x[i-d])
    and a reverse cummin gives the first mismatch at or after every
@@ -39,7 +40,10 @@ import jax.numpy as jnp
 
 from ..formats import constants as C
 
-SORT_CAP = 8  # match length resolvable inside the carry-sort (4 + w4)
+SORT_CAP = 4  # sort candidates report ">= 4, extend at commit": the
+              # walk kernel (TPU) / extend_matches_xla (CPU) resolve the
+              # exact length, so carrying extension payloads through the
+              # sorts only added traffic (a third 2M-element operand)
 Z_LAGS = 4    # lags with exact vector-side run lengths (the RLE regime)
 
 
@@ -86,8 +90,8 @@ _WIN_STRIDE = 1 << 15   # window stride H (= max match distance)
 _WIN = 2 * _WIN_STRIDE  # window width: upper-half positions see >= 32 KB
 
 
-def _resolve_sorted(skey, sj, sw4, axis: int):
-    """Candidate + extension from sort-adjacent elements (any batch rank)."""
+def _resolve_sorted(skey, sj, axis: int):
+    """Nearest-previous candidate from sort-adjacent elements."""
     zi = [(0, 0)] * skey.ndim
     zi[axis] = (1, 0)
     shift = lambda a: jnp.pad(a, zi)[
@@ -99,29 +103,21 @@ def _resolve_sorted(skey, sj, sw4, axis: int):
     else:
         same = same.at[:, 0].set(False)
     prevj = shift(sj)
-    cand_s = jnp.where(same, prevj, -1)
-    x4 = sw4 ^ shift(sw4)
-    ext_s = jnp.where(same, _tz_bytes(x4), 0)
-    # pack (cand, ext) into one payload for the route-back sort:
-    # cand < 2^21 (window-local), ext <= 4 -> 3 bits
-    return jnp.where(cand_s >= 0, cand_s * 8 + ext_s, -1)
+    return jnp.where(same, prevj, -1)
 
 
 def _nearest_prev_flat(u32e: jnp.ndarray, S: int):
     """Flat-sort candidate search (CPU & small segments)."""
     u32 = u32e[:S]
     pos = jnp.arange(S, dtype=jnp.int32)
-    w4 = u32e[4 : S + 4]
-    skey, spos, sw4 = jax.lax.sort(
-        (u32, pos, w4), dimension=0, is_stable=True, num_keys=1
+    skey, spos = jax.lax.sort(
+        (u32, pos), dimension=0, is_stable=True, num_keys=1
     )
-    packed_s = _resolve_sorted(skey, spos, sw4, axis=0)
-    _, packed = jax.lax.sort(
-        (spos, packed_s), dimension=0, is_stable=True, num_keys=1
+    cand_s = _resolve_sorted(skey, spos, axis=0)
+    _, cand = jax.lax.sort(
+        (spos, cand_s), dimension=0, is_stable=True, num_keys=1
     )
-    cand = jnp.where(packed >= 0, packed >> 3, -1)
-    ext = jnp.where(packed >= 0, packed & 7, 0)
-    return cand, ext
+    return cand
 
 
 def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
@@ -146,19 +142,15 @@ def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
     )
     halves = u32p[: (NW + 1) * H].reshape(NW + 1, H)
     key = jnp.concatenate([halves[:-1], halves[1:]], axis=1)   # [NW, W]
-    h4 = u32p[4 : (NW + 1) * H + 4].reshape(NW + 1, H)
-    w4 = jnp.concatenate([h4[:-1], h4[1:]], axis=1)
     jloc = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (NW, W))
 
-    skey, sj, sw4 = jax.lax.sort(
-        (key, jloc, w4), dimension=1, is_stable=True, num_keys=1
+    skey, sj = jax.lax.sort(
+        (key, jloc), dimension=1, is_stable=True, num_keys=1
     )
-    packed_s = _resolve_sorted(skey, sj, sw4, axis=1)
-    _, packed_w = jax.lax.sort(
-        (sj, packed_s), dimension=1, is_stable=True, num_keys=1
+    cand_s = _resolve_sorted(skey, sj, axis=1)
+    _, cand_w = jax.lax.sort(
+        (sj, cand_s), dimension=1, is_stable=True, num_keys=1
     )
-    cand_w = jnp.where(packed_w >= 0, packed_w >> 3, -1)
-    ext_w = jnp.where(packed_w >= 0, packed_w & 7, 0)
     # globalize candidates, then take each position's designated window:
     # window 0 contributes [0, W), window k >= 1 contributes its upper half
     base = (jnp.arange(NW, dtype=jnp.int32) * H)[:, None]
@@ -166,10 +158,7 @@ def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
     cand = jnp.concatenate(
         [cand_g[0], cand_g[1:, H:].reshape(-1)]
     )[:S]
-    ext = jnp.concatenate(
-        [ext_w[0], ext_w[1:, H:].reshape(-1)]
-    )[:S]
-    return cand, ext
+    return cand
 
 
 def _small_period_lengths(data: jnp.ndarray, S: int) -> jnp.ndarray:
@@ -199,9 +188,9 @@ def find_matches(data: jnp.ndarray, n: jnp.ndarray):
     data: uint8[S + 320] zero-padded past n.
     n:    int32 scalar valid byte count.
     Returns (mlen[S] int32, dist[S] int32).  Lengths are exact up to
-    MAX_MATCH_LENGTH for dist <= Z_LAGS (lag run tables) and capped at
-    SORT_CAP otherwise — SORT_CAP means ">= SORT_CAP, extend at commit"
-    (walk_pallas on TPU, extend_matches_xla on CPU).
+    MAX_MATCH_LENGTH for dist <= Z_LAGS (lag run tables) and reported
+    as SORT_CAP (= ">= 4, extend at commit") otherwise — walk_pallas on
+    TPU, extend_matches_xla on CPU resolve the exact length.
     """
     S = data.shape[0] - 320
     SE = S + 300
@@ -215,9 +204,9 @@ def find_matches(data: jnp.ndarray, n: jnp.ndarray):
     pos = jnp.arange(S, dtype=jnp.int32)
 
     if S > 2 * _WIN:
-        cand, ext = _nearest_prev_windowed(u32e, S)
+        cand = _nearest_prev_windowed(u32e, S)
     else:
-        cand, ext = _nearest_prev_flat(u32e, S)
+        cand = _nearest_prev_flat(u32e, S)
 
     dist = pos - cand
     ok = (
@@ -225,7 +214,7 @@ def find_matches(data: jnp.ndarray, n: jnp.ndarray):
         & (cand >= 0)
         & (dist <= C.MAX_MATCH_OFFSET)
     )
-    mlen = jnp.where(ok, 4 + ext, 0)                      # 4..SORT_CAP
+    mlen = jnp.where(ok, SORT_CAP, 0)         # ">= 4, extend at commit"
 
     # exact lengths for the Z_LAGS smallest distances (RLE/overlap regime)
     z = _small_period_lengths(data[:S], S)

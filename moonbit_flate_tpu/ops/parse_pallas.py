@@ -98,7 +98,7 @@ def _make_kernel(stream_words: int, out_chunk: int = OUT_CHUNK):
             refill(0)
 
         def zero_out(i, c):
-            out_ref[0, i] = 0
+            out_ref[i] = 0
             return c
 
         jax.lax.fori_loop(0, OUT_CHUNK, zero_out, 0)
@@ -429,7 +429,7 @@ def _make_kernel(stream_words: int, out_chunk: int = OUT_CHUNK):
 
             @pl.when((sym >= 0) & (sym < 256))
             def _():
-                out_ref[0, k] = sym
+                out_ref[k] = sym
                 state[ST_CURSOR] = np_
                 state[ST_OUTPOS] = state[ST_OUTPOS] + 1
                 state[ST_NTOK] = state[ST_NTOK] + 1
@@ -478,7 +478,7 @@ def _make_kernel(stream_words: int, out_chunk: int = OUT_CHUNK):
 
                 @pl.when(~bad & ~trunc)
                 def _():
-                    out_ref[0, k] = (
+                    out_ref[k] = (
                         (jnp.int32(1) << 31) | ((length - 3) << 15) | (dist - 1)
                     )
                     state[ST_CURSOR] = p_end
@@ -511,7 +511,7 @@ def _make_kernel(stream_words: int, out_chunk: int = OUT_CHUNK):
             @pl.when(inblock == 2)
             def _():
                 pos = state[ST_CURSOR]
-                out_ref[0, k] = peek(pos, 8)
+                out_ref[k] = peek(pos, 8)
                 state[ST_CURSOR] = pos + 8
                 state[ST_OUTPOS] = state[ST_OUTPOS] + 1
                 state[ST_NTOK] = state[ST_NTOK] + 1
@@ -536,12 +536,12 @@ def _make_kernel(stream_words: int, out_chunk: int = OUT_CHUNK):
 
         jax.lax.while_loop(loop_cond, loop_body,
                            (jnp.int32(0), state[ST_STATUS]))
-        cnt_ref[0, 0] = state[ST_NTOK]
-        cnt_ref[0, 1] = state[ST_STATUS]
-        cnt_ref[0, 2] = state[ST_OUTPOS]
+        cnt_ref[0] = state[ST_NTOK]
+        cnt_ref[1] = state[ST_STATUS]
+        cnt_ref[2] = state[ST_OUTPOS]
 
         def pad_cnt(i, c):
-            cnt_ref[0, 3 + i] = 0
+            cnt_ref[3 + i] = 0
             return c
 
         jax.lax.fori_loop(0, 1021, pad_cnt, 0)
@@ -565,6 +565,10 @@ def parse_batch(nbits: jnp.ndarray, words: jnp.ndarray, n_chunks: int,
     """
     B, SW = words.shape
     assert SW >= WWIN, "streams must be padded to at least WWIN words"
+    # Outputs are FLAT 1-D with 1-D blocks: 2-D blocks over the stream
+    # axis ((1, out_chunk) of a (B, ...) array) violate Mosaic's
+    # last-two-dims tiling rule once both dims are blocked; 1-D SMEM
+    # blocks only need the (1024) tile, which out_chunk=8192 satisfies.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_chunks),
@@ -572,9 +576,9 @@ def parse_batch(nbits: jnp.ndarray, words: jnp.ndarray, n_chunks: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, out_chunk), lambda g, t, s: (g, t),
+            pl.BlockSpec((out_chunk,), lambda g, t, s: (g * n_chunks + t,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1024), lambda g, t, s: (g, 0),
+            pl.BlockSpec((1024,), lambda g, t, s: (g,),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
@@ -590,12 +594,13 @@ def parse_batch(nbits: jnp.ndarray, words: jnp.ndarray, n_chunks: int,
         _make_kernel(SW, out_chunk),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, n_chunks * out_chunk), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1024), jnp.int32),
+            jax.ShapeDtypeStruct((B * n_chunks * out_chunk,), jnp.int32),
+            jax.ShapeDtypeStruct((B * 1024,), jnp.int32),
         ],
         interpret=interpret,
     )(jnp.asarray(nbits, jnp.int32), words.reshape(-1))
-    return toks, cnt
+    return (toks.reshape(B, n_chunks * out_chunk),
+            cnt.reshape(B, 1024))
 
 
 def _stage_streams(streams):

@@ -84,6 +84,7 @@ def _make_kernel(w4t: int):
                 bits_out_ref, minfo_out_ref, wwin_ref, sem, state_ref):
         g = pl.program_id(0)      # segment (batch) index
         t = pl.program_id(1)      # chunk index within the segment
+        n_chunks = pl.num_programs(1)
         base = t * CHUNK
         ctx = params_ref[g, 0]
         n = params_ref[g, 1]
@@ -91,16 +92,26 @@ def _make_kernel(w4t: int):
         # window of data words [base - HALO, base + CHUNK + SLACK) — each
         # segment's words are pre-padded with HALO zero bytes, so chunk
         # t's window starts at word g*w4t + t*C4 and every start is in
-        # range (and 1024-word aligned).
-        dma = pltpu.make_async_copy(
-            words_hbm.at[pl.ds(g * w4t + t * _C4, _WWIN)], wwin_ref, sem
-        )
-        dma.start()
+        # range (and 1024-word aligned).  Double-buffered: chunk t walks
+        # slot t%2 while chunk t+1's window streams into the other slot
+        # (the grid is sequential, so the overwritten slot is done).
+        slot = jax.lax.rem(t, 2)
+
+        def dma_for(tt, sl):
+            return pltpu.make_async_copy(
+                words_hbm.at[pl.ds(g * w4t + tt * _C4, _WWIN)],
+                wwin_ref.at[sl], sem.at[sl]
+            )
 
         @pl.when(t == 0)
         def _():
+            dma_for(0, 0).start()
             state_ref[0] = ctx                  # cursor
             state_ref[1] = ctx + C.MAX_STORE_BLOCK_SIZE  # next block boundary
+
+        @pl.when(t + 1 < n_chunks)
+        def _():
+            dma_for(t + 1, 1 - slot).start()
 
         def zero_body(w, carry):
             bits_out_ref[0, w] = 0
@@ -108,15 +119,15 @@ def _make_kernel(w4t: int):
 
         jax.lax.fori_loop(0, _NW, zero_body, 0)
 
-        dma.wait()
+        dma_for(t, slot).wait()
 
         def load32(p):
             """Little-endian 4-byte load at absolute byte position p."""
             off = p - base + HALO
             w = off >> 2
             s = jnp.uint32((off & 3) << 3)
-            lo = wwin_ref[w].astype(jnp.uint32)
-            hi = wwin_ref[w + 1].astype(jnp.uint32)
+            lo = wwin_ref[slot, w].astype(jnp.uint32)
+            hi = wwin_ref[slot, w + 1].astype(jnp.uint32)
             return jnp.where(s == 0, lo, (lo >> s) | (hi << (jnp.uint32(32) - s)))
 
         end = base + CHUNK
@@ -243,8 +254,8 @@ def walk_batch(bits: jnp.ndarray, minfo: jnp.ndarray,
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((_WWIN,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2, _WWIN), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((2,), jnp.int32),
         ],
     )

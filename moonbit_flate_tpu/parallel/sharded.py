@@ -161,3 +161,93 @@ def compress(data: bytes, mesh: Mesh | None = None,
     return ShardedCompressor(mesh, blocks_per_segment, halo).compress(
         data, dictionary
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-shard progress manifest (SURVEY §5.4): the shard-granular state
+# vector that makes multi-host recovery and parallel decode trivial —
+# blocks are independent, so a lost shard is re-run and a stored
+# manifest turns decode into pure data parallelism as well.
+
+class ShardManifest:
+    """Sidecar index of a sharded stream: per-shard compressed sizes and
+    payload sizes.  ``segments()`` recovers each shard's byte range, so
+    a failed shard re-runs alone and decode parallelizes per shard
+    (inflate/tpu_inflate.decompress_segments).  Only halo-free,
+    dictionary-free streams are segment-decodable in isolation."""
+
+    def __init__(self, comp_sizes, payload_sizes, blocks_per_segment):
+        self.comp_sizes = list(map(int, comp_sizes))
+        self.payload_sizes = list(map(int, payload_sizes))
+        self.blocks_per_segment = blocks_per_segment
+
+    def segments(self, stream: bytes):
+        """Split the stream body back into per-shard streams."""
+        parts, off = [], 0
+        for sz in self.comp_sizes:
+            parts.append(stream[off : off + sz])
+            off += sz
+        return parts
+
+    def to_dict(self):
+        return {"version": 1, "blocks_per_segment": self.blocks_per_segment,
+                "comp_sizes": self.comp_sizes,
+                "payload_sizes": self.payload_sizes}
+
+    @classmethod
+    def from_dict(cls, d):
+        assert d["version"] == 1
+        return cls(d["comp_sizes"], d["payload_sizes"],
+                   d["blocks_per_segment"])
+
+
+def compress_with_manifest(data: bytes, mesh: Mesh | None = None,
+                           blocks_per_segment: int = 16):
+    """Sharded compress returning (stream, ShardManifest).
+
+    halo/dictionary are deliberately unsupported here: the manifest's
+    point is shard-independent decode, which cross-shard history breaks.
+    """
+    sc = ShardedCompressor(mesh, blocks_per_segment)
+    data = bytes(data)
+    comp_sizes, payload_sizes = [], []
+    out = []
+    D, seg = sc.n_dev, sc.seg
+    wave = D * seg
+    for wstart in range(0, max(len(data), 1), wave):
+        batch = np.zeros((D, seg + PAD), np.uint8)
+        ns = np.zeros(D, np.int32)
+        cs = np.zeros(D, np.int32)
+        for d in range(D):
+            start = wstart + d * seg
+            part = data[start : start + seg]
+            ns[d] = len(part)
+            if part:
+                batch[d, : len(part)] = np.frombuffer(part, np.uint8)
+        stream, sizes, total = sc._step(
+            jnp.asarray(batch), jnp.asarray(ns), jnp.asarray(cs)
+        )
+        out.append(np.asarray(stream).view("<u4").tobytes()[: int(total)])
+        for d in range(D):
+            if ns[d] > 0:
+                comp_sizes.append(int(np.asarray(sizes)[d]))
+                payload_sizes.append(int(ns[d]))
+    body = b"".join(out)
+    return body + FINAL_EMPTY_BLOCK, ShardManifest(
+        comp_sizes, payload_sizes, blocks_per_segment
+    )
+
+
+def decompress_with_manifest(stream: bytes, manifest: ShardManifest,
+                             interpret: bool = False) -> bytes:
+    """Shard-parallel decode driven by the manifest: one batched Pallas
+    stage-A dispatch over all shards + data-parallel stage B."""
+    from ..inflate.tpu_inflate import decompress_segments
+
+    body = stream[: sum(manifest.comp_sizes)]
+    parts = manifest.segments(body)
+    if not parts:
+        return b""
+    outs = decompress_segments(parts, manifest.payload_sizes,
+                               interpret=interpret)
+    return b"".join(outs)

@@ -90,3 +90,17 @@ def test_closed_form_code_tables_match():
     dbase, deb = T.offset_base_extra(dcodes)
     assert np.array_equal(np.asarray(dbase), np.asarray(C.OFFSET_BASE))
     assert np.array_equal(np.asarray(deb), np.asarray(C.OFFSET_EXTRA_BITS))
+
+
+def test_codec_config():
+    from moonbit_flate_tpu.config import CodecConfig
+
+    cfg = CodecConfig(blocks_per_segment=2)
+    assert cfg.segment_bytes == 2 * 65535
+    tc = cfg.tpu_compressor()
+    assert tc.nb == 2 and tc.halo is False
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        CodecConfig(backend="gpu")
+    with _pytest.raises(ValueError):
+        CodecConfig(blocks_per_segment=0)

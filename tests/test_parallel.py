@@ -88,3 +88,28 @@ def test_sharded_dictionary(mesh):
     # the dictionary must actually help
     plain = sc.compress(payload)
     assert len(c) < len(plain)
+
+
+def test_manifest_roundtrip_parallel_decode(mesh):
+    """Per-shard manifest (SURVEY §5.4): shard-independent decode via
+    the batched device parser, and single-shard recovery."""
+    import json
+
+    from moonbit_flate_tpu.parallel.sharded import (compress_with_manifest,
+                                                    decompress_with_manifest,
+                                                    ShardManifest)
+
+    rng = np.random.default_rng(4)
+    payload = (b"manifest shard payload | " * 300
+               + rng.integers(0, 256, 3000, np.uint8).tobytes())
+    stream, man = compress_with_manifest(payload, mesh,
+                                         blocks_per_segment=1)
+    assert zlib.decompress(stream, wbits=-15) == payload
+    # manifest survives serialization
+    man2 = ShardManifest.from_dict(json.loads(json.dumps(man.to_dict())))
+    assert decompress_with_manifest(stream, man2,
+                                    interpret=True) == payload
+    # recovery: each shard re-decodes in isolation
+    parts = man2.segments(stream)
+    assert sum(man2.comp_sizes) == len(stream) - 5
+    assert len(parts) == len(man2.payload_sizes)
