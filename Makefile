@@ -5,9 +5,16 @@
 
 PY ?= python
 
-.PHONY: check native test bench-smoke clean
+.PHONY: check check-tpu native test bench-smoke clean
 
 check: native test bench-smoke
+
+# Production-backend gate: compiles + runs every Pallas kernel and one
+# end-to-end round-trip on the real TPU.  Interpret-mode tests cannot
+# surface Mosaic layout/tiling errors (see VERDICT r3); run this before
+# every commit that touches ops/.
+check-tpu:
+	$(PY) tools/tpu_smoke.py
 
 native:
 	$(MAKE) -C native

@@ -62,8 +62,6 @@ class TPUCompressor:
             seg = data[start : start + payload_cap]
             parts.append(self._encode_segment_np(context[-C.WINDOW_SIZE :], seg))
             context = (context + seg)[-C.WINDOW_SIZE :] if self.halo else b""
-            if not self.halo:
-                context = b""
         parts.append(FINAL_EMPTY_BLOCK)
         return b"".join(parts)
 

@@ -160,13 +160,17 @@ def scan_tokens_device(data: bytes, max_out_bytes: int | None = None,
     """Stage A on the TPU scalar core (ops/parse_pallas.py).
 
     Raises the same error classes as the native scanner.  Token capacity
-    is sized from max_out_bytes (every output byte can cost one token).
+    starts from a modest estimate (most streams expand well under 16x;
+    the theoretical 1032:1 bound would allocate ~4 KB of token space per
+    compressed byte) and grows geometrically on capacity exhaustion
+    (status == 0) — the retry recompiles only for genuinely pathological
+    streams instead of pre-sizing every call for them.
     """
     from ..ops.parse_pallas import OUT_CHUNK, parse_stream
 
     data = bytes(data)
     if max_out_bytes is None:
-        max_out_bytes = max(4096, len(data) * 1040)
+        max_out_bytes = max(4096, len(data) * 16)
     n_chunks = -(-(max_out_bytes + 1) // OUT_CHUNK)
     while True:
         toks, status, outpos = parse_stream(data, max_out_chunks=n_chunks,
@@ -197,14 +201,24 @@ def decompress_segments(streams: list[bytes], out_sizes: list[int],
     cap = max(max(out_sizes), 1)
     n_chunks = -(-(cap + 1) // OUT_CHUNK)
     nbits, words = _stage_streams(streams)
-    toks, cnt = parse_batch(nbits, words, n_chunks, interpret=interpret)
-    cnt_h = np.asarray(cnt)
+    while True:
+        toks, cnt = parse_batch(nbits, words, n_chunks, interpret=interpret)
+        cnt_h = np.asarray(cnt)
+        if not (cnt_h[:, 1] == 0).any():
+            break
+        # status 0 = token/output capacity exhausted (a caller-bound
+        # problem, not stream corruption): grow and retry
+        n_chunks *= 4
     for i in range(len(streams)):
         status = int(cnt_h[i, 1])
         if status == -4:
             raise UnexpectedEOFError()
         if status != 1:
             raise CorruptInputError(-1)
+        if int(cnt_h[i, 2]) > out_sizes[i]:
+            raise ValueError(
+                f"stream {i}: decompressed size {int(cnt_h[i, 2])} exceeds "
+                f"caller bound {out_sizes[i]}")
     # one batched stage-B dispatch; token rows sliced to the real
     # maximum (padding quantum keeps compile geometries reusable)
     nt_pad = _round_up(max(int(cnt_h[:, 0].max()), 1))

@@ -8,8 +8,9 @@ resolved up front — and resolving lengths for *every* position cost
 the parse only commits ~S/8 of them.
 
 This kernel inverts that: the vector stages deliver only *capped*
-candidates (length <= SORT_CAP from the carry-sort payload; exact
-lengths for lags <= Z_LAGS from lag-compare run tables), and the walk
+candidates (sort candidates always report exactly SORT_CAP — ">= 4,
+extend at commit"; exact lengths only for lags <= Z_LAGS from
+lag-compare run tables), and the walk
 
   1. skips literal runs via a match-presence bitmask (one scan per
      32 positions, not per byte),
@@ -81,7 +82,8 @@ def _make_kernel(w4t: int):
     """w4t: words per segment in the flattened data-word array."""
 
     def _kernel(params_ref, bits_ref, minfo_ref, words_hbm,
-                bits_out_ref, minfo_out_ref, wwin_ref, sem, state_ref):
+                bits_out_ref, minfo_out_ref, wwin0_ref, wwin1_ref,
+                sem, state_ref):
         g = pl.program_id(0)      # segment (batch) index
         t = pl.program_id(1)      # chunk index within the segment
         n_chunks = pl.num_programs(1)
@@ -93,25 +95,25 @@ def _make_kernel(w4t: int):
         # segment's words are pre-padded with HALO zero bytes, so chunk
         # t's window starts at word g*w4t + t*C4 and every start is in
         # range (and 1024-word aligned).  Double-buffered: chunk t walks
-        # slot t%2 while chunk t+1's window streams into the other slot
-        # (the grid is sequential, so the overwritten slot is done).
+        # one window buffer while chunk t+1's window streams into the
+        # other (the grid is sequential, so the overwritten one is done).
+        # The two buffers are SEPARATE 1-D SMEM scratches selected by
+        # trace-time branching on t%2 — Mosaic rejects row-slicing a
+        # (2, _WWIN) SMEM scratch ("slice along dim 0 must be aligned to
+        # tiling (2)"), so a 2-D slot array cannot be used here.
         slot = jax.lax.rem(t, 2)
 
-        def dma_for(tt, sl):
+        def dma_for(tt, win_ref, sem_ref):
             return pltpu.make_async_copy(
                 words_hbm.at[pl.ds(g * w4t + tt * _C4, _WWIN)],
-                wwin_ref.at[sl], sem.at[sl]
+                win_ref, sem_ref
             )
 
         @pl.when(t == 0)
         def _():
-            dma_for(0, 0).start()
+            dma_for(0, wwin0_ref, sem.at[0]).start()
             state_ref[0] = ctx                  # cursor
             state_ref[1] = ctx + C.MAX_STORE_BLOCK_SIZE  # next block boundary
-
-        @pl.when(t + 1 < n_chunks)
-        def _():
-            dma_for(t + 1, 1 - slot).start()
 
         def zero_body(w, carry):
             bits_out_ref[0, w] = 0
@@ -119,20 +121,32 @@ def _make_kernel(w4t: int):
 
         jax.lax.fori_loop(0, _NW, zero_body, 0)
 
-        dma_for(t, slot).wait()
+        def walk(wwin_ref, other_ref, my_si, other_si):
+            """Walk chunk t out of wwin_ref; prefetch t+1 into other_ref."""
 
-        def load32(p):
+            @pl.when(t + 1 < n_chunks)
+            def _():
+                dma_for(t + 1, other_ref, sem.at[other_si]).start()
+
+            dma_for(t, wwin_ref, sem.at[my_si]).wait()
+            _walk_body(wwin_ref)
+
+        def load32_from(wwin_ref, p):
             """Little-endian 4-byte load at absolute byte position p."""
             off = p - base + HALO
             w = off >> 2
             s = jnp.uint32((off & 3) << 3)
-            lo = wwin_ref[slot, w].astype(jnp.uint32)
-            hi = wwin_ref[slot, w + 1].astype(jnp.uint32)
+            lo = wwin_ref[w].astype(jnp.uint32)
+            hi = wwin_ref[w + 1].astype(jnp.uint32)
             return jnp.where(s == 0, lo, (lo >> s) | (hi << (jnp.uint32(32) - s)))
 
         end = base + CHUNK
 
-        def body(state):
+        def _walk_body(wwin_ref):
+            load32 = partial(load32_from, wwin_ref)
+            run_walk(load32)
+
+        def body(load32, state):
             cur, nbe = state
             local = cur - base
             wi = local >> 5
@@ -195,12 +209,22 @@ def _make_kernel(w4t: int):
 
             return jax.lax.cond(word == 0, no_match, has_match, word)
 
-        cur0 = jnp.maximum(state_ref[0], base)
-        cur, nbe = jax.lax.while_loop(
-            lambda s: s[0] < end, body, (cur0, state_ref[1])
-        )
-        state_ref[0] = cur
-        state_ref[1] = nbe
+        def run_walk(load32):
+            cur0 = jnp.maximum(state_ref[0], base)
+            cur, nbe = jax.lax.while_loop(
+                lambda s: s[0] < end, partial(body, load32),
+                (cur0, state_ref[1])
+            )
+            state_ref[0] = cur
+            state_ref[1] = nbe
+
+        @pl.when(slot == 0)
+        def _():
+            walk(wwin0_ref, wwin1_ref, 0, 1)
+
+        @pl.when(slot == 1)
+        def _():
+            walk(wwin1_ref, wwin0_ref, 1, 0)
 
     return _kernel
 
@@ -254,7 +278,8 @@ def walk_batch(bits: jnp.ndarray, minfo: jnp.ndarray,
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, _WWIN), jnp.int32),
+            pltpu.SMEM((_WWIN,), jnp.int32),
+            pltpu.SMEM((_WWIN,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((2,), jnp.int32),
         ],
