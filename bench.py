@@ -119,11 +119,15 @@ def main():
                           "error": "round-trip mismatch"}))
         return 1
 
-    # steady-state timing (compressed bits stay on device)
+    # steady-state timing (compressed bits stay on device).  Each rep
+    # flips one input byte so no dispatch is identical to a previous
+    # one — the tunnel acks and may memoize identical dispatches, which
+    # would inflate the number.
     reps = 1 if SMOKE else 3
     t0 = time.time()
-    for _ in range(reps):
-        wb, bb = encode_segments(xb, n_arr, ctx0, nb)
+    for r in range(reps):
+        xr = xb.at[0, 0].set((int(buf[0, 0]) + r + 1) % 256)
+        wb, bb = encode_segments(xr, n_arr, ctx0, nb)
     bb.block_until_ready()
     np.asarray(bb)  # force host sync through the tunnel
     dt = (time.time() - t0) / reps
@@ -157,21 +161,30 @@ def main():
         assert dec == corpus
         extra["decode_native_gbps"] = round(nbytes / dt_n / 1e9, 4)
 
-    # TPU path: batched Pallas stage A + data-parallel stage B, whole
-    # corpus in flight (stage A is one dispatch over all segments).
-    # Skipped in smoke mode: the interpreter executes the scalar parse
-    # per-token in Python (covered instead by tests/test_parse_pallas.py).
+    # TPU path: batched Pallas stage A + data-parallel stage B.  The
+    # timed streams come from ZLIB (level 1, raw), not our encoder, so
+    # the decode record is independent of encode health (VERDICT r3
+    # weak #7).  The warm rep decodes the streams in rotated order so
+    # no dispatch is identical to the warmup.
     if not SMOKE:
         try:
             from moonbit_flate_tpu.inflate.tpu_inflate import \
                 decompress_segments
 
-            outs_dec = decompress_segments(outs, [seg] * n_segs)
+            zsegs = [corpus[i * seg:(i + 1) * seg] for i in range(n_segs)]
+            zstreams = [zlib.compress(s, 1)[2:-4] for s in zsegs]
+            outs_dec = decompress_segments(zstreams, [seg] * n_segs)
             assert b"".join(outs_dec) == corpus
+            rot = list(range(1, n_segs)) + [0]
             t0 = time.time()
-            outs_dec = decompress_segments(outs, [seg] * n_segs)
+            outs_dec = decompress_segments([zstreams[i] for i in rot],
+                                           [seg] * n_segs)
             dt_d = time.time() - t0
+            assert b"".join(outs_dec) == b"".join(zsegs[i] for i in rot)
             extra["decode_tpu_gbps"] = round(nbytes / dt_d / 1e9, 4)
+            # our own streams must round-trip on-device too
+            outs_own = decompress_segments(outs, [seg] * n_segs)
+            assert b"".join(outs_own) == corpus
         except Exception as e:  # pragma: no cover - report, don't mask
             extra["decode_tpu_error"] = repr(e)[:200]
 

@@ -128,10 +128,19 @@ def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
     segment into 64 KB windows at 32 KB stride (windows share halves, so
     they're built by reshape+stack — no gathers); each position takes its
     result from the window where it sits in the upper half (>= 32 KB of
-    in-window history), making the result *exactly* equal to the flat
-    search after the distance check.  The sorts become batched
-    [NW, 65536] sorts along the last axis — better TPU utilization than
-    one flat length-S sort.
+    in-window history).  The sorts become batched [NW, 65536] sorts
+    along the last axis — better TPU utilization than one flat length-S
+    sort.
+
+    Sort 1 keys on the exact 4-byte loads with the position as carried
+    payload (a 16-bit hash<<16|pos fused key was tried and REVERTED:
+    hash collisions on incompressible data produce candidates the
+    walk must reject one serial position at a time — 15% slower end to
+    end on the bench corpus, plus ratio risk).  Sort 2 is fused into a
+    SINGLE u32 operand: in-window positions and candidates both fit 16
+    bits, so (pos << 16 | cand) routes candidates back to position
+    order with half the traffic of a key+payload pair — 3 sorted
+    operands total instead of 4, exactly.
     """
     H, W = _WIN_STRIDE, _WIN
     NH = -(-S // H)              # half-slots covering S
@@ -148,9 +157,14 @@ def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
         (key, jloc), dimension=1, is_stable=True, num_keys=1
     )
     cand_s = _resolve_sorted(skey, sj, axis=1)
-    _, cand_w = jax.lax.sort(
-        (sj, cand_s), dimension=1, is_stable=True, num_keys=1
-    )
+
+    # route back to position order (sentinel 0xFFFF = no candidate; a
+    # real candidate is always < its position <= 0xFFFF)
+    cand16 = jnp.where(cand_s >= 0, cand_s, 0xFFFF).astype(jnp.uint32)
+    k2 = (sj.astype(jnp.uint32) << 16) | cand16
+    k2s = jax.lax.sort(k2, dimension=1)
+    cand_w = (k2s & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    cand_w = jnp.where(cand_w == 0xFFFF, -1, cand_w)
     # globalize candidates, then take each position's designated window:
     # window 0 contributes [0, W), window k >= 1 contributes its upper half
     base = (jnp.arange(NW, dtype=jnp.int32) * H)[:, None]

@@ -147,6 +147,64 @@ def _merge_levels(values: jnp.ndarray, widths: jnp.ndarray):
     return cur.T.reshape(M, ROWS, 128), rows, total_bits
 
 
+def _make_place_kernel_batch(n_tchunks: int):
+    def _place_kernel_b(rows_ref, ent_ref, out_ref):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+        def body(i, carry):
+            r = rows_ref[(b * n_tchunks + t) * _CHUNK_E + i]
+            win = out_ref[0, pl.ds(r, ROWS), :]
+            out_ref[0, pl.ds(r, ROWS), :] = win | ent_ref[0, i]
+            return carry
+
+        jax.lax.fori_loop(0, _CHUNK_E, body, 0)
+
+    return _place_kernel_b
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def pack_units_dense_batch(values: jnp.ndarray, widths: jnp.ndarray,
+                           n_words: int, interpret: bool = False):
+    """Batched pack_units_dense: [B, NU] units -> ([B, n_words] u32,
+    int32[B] total bits).  Phase A runs vmapped (dense VPU work batches
+    trivially); phase B grids over (segment, entity chunk) with one
+    output row-block per segment."""
+    B = values.shape[0]
+    ents, rows, total_bits = jax.vmap(_merge_levels)(values, widths)
+    M = ents.shape[1]
+    MP = -(-M // _CHUNK_E) * _CHUNK_E
+    R_out = -(-n_words // 128) + ROWS
+    if MP > M:
+        ents = jnp.pad(ents, ((0, 0), (0, MP - M), (0, 0), (0, 0)))
+        rows = jnp.pad(rows, ((0, 0), (0, MP - M)))
+    rows = jnp.clip(rows, 0, R_out - ROWS)
+    T = MP // _CHUNK_E
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T),
+        in_specs=[
+            pl.BlockSpec((1, _CHUNK_E, ROWS, 128),
+                         lambda b, t, s: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R_out, 128), lambda b, t, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    words = pl.pallas_call(
+        _make_place_kernel_batch(T),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, R_out, 128), jnp.uint32),
+        interpret=interpret,
+    )(rows.reshape(-1), ents)
+    return words.reshape(B, -1)[:, :n_words], total_bits
+
+
 def _place_kernel(rows_ref, ent_ref, out_ref):
     t = pl.program_id(0)
 

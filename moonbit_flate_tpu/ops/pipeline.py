@@ -89,6 +89,78 @@ def pack_units(values: jnp.ndarray, widths: jnp.ndarray, n_words: int):
     return words, total.astype(jnp.int32)
 
 
+def _find_clip(data_padded: jnp.ndarray, n: jnp.ndarray, ctx: jnp.ndarray,
+               nb: int):
+    """Stage 1a (single segment, vmappable): candidate matches, clipped
+    at 65535-byte block boundaries so token groups == byte ranges."""
+    S = nb * BLOCK
+    ctx = jnp.asarray(ctx, jnp.int32)
+    pos = jnp.arange(S, dtype=jnp.int32)
+    blk_orig = jnp.clip(pos - ctx, 0, S - 1) // BLOCK
+    mlen, dist = find_matches(data_padded, n)
+    block_end = ctx + (blk_orig + 1) * BLOCK
+    mlen = jnp.minimum(mlen, block_end - pos)
+    mlen = jnp.where(mlen >= C.MIN_MATCH_LENGTH, mlen, 0)
+    return mlen, dist, block_end
+
+
+def _commit_walk_batch(data_padded: jnp.ndarray, mlen: jnp.ndarray,
+                       dist: jnp.ndarray, n: jnp.ndarray, ctx: jnp.ndarray,
+                       nb: int):
+    """Stage 1b on TPU: ONE Pallas walk dispatch commits B segments
+    (greedy parse + lazy extension; grid = (B, chunks))."""
+    from .walk_pallas import CHUNK as WCHUNK
+    from .walk_pallas import HALO as WHALO
+    from .walk_pallas import SLACK as WSLACK
+    from .walk_pallas import walk_batch
+
+    B = data_padded.shape[0]
+    S = nb * BLOCK
+    S_pad = -(-S // WCHUNK) * WCHUNK
+    minfo, grp = jax.vmap(
+        lambda m, d, c: pack_match_info(m, d, c, S_pad)
+    )(mlen, dist, ctx)
+    nbytes = WHALO + S_pad + WSLACK
+    pb = jnp.concatenate([
+        jnp.zeros((B, WHALO), jnp.uint8), data_padded,
+        jnp.zeros((B, nbytes - WHALO - data_padded.shape[1]), jnp.uint8),
+    ], axis=1).reshape(B, -1, 4).astype(jnp.uint32)
+    words = (pb[..., 0] | (pb[..., 1] << 8)
+             | (pb[..., 2] << 16) | (pb[..., 3] << 24))
+    words = jax.lax.bitcast_convert_type(words, jnp.int32)
+    bits_o, minfo_o = walk_batch(grp, minfo, words, ctx, n)
+    pos = jnp.arange(S, dtype=jnp.int32)
+    match_start = (
+        (bits_o[:, :, None] >> jnp.arange(32, dtype=jnp.int32)[None, None, :])
+        & 1
+    ).reshape(B, -1)[:, :S] > 0
+    mlen2 = jnp.where(match_start, minfo_o[:, :S] & 511, 0)
+    dist2 = jnp.where(match_start, minfo_o[:, :S] >> 9, 0)
+    reach = jnp.where(match_start, pos[None, :] + mlen2, 0)
+    cmax = jax.lax.cummax(reach, axis=1)
+    covered = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), cmax[:, :-1]], axis=1
+    ) > pos[None, :]
+    committed = ((match_start | ~covered)
+                 & (pos[None, :] >= ctx[:, None])
+                 & (pos[None, :] < n[:, None]))
+    return committed, match_start, mlen2, dist2
+
+
+def _commit_xla(data_padded: jnp.ndarray, mlen: jnp.ndarray,
+                dist: jnp.ndarray, n: jnp.ndarray, ctx: jnp.ndarray,
+                block_end: jnp.ndarray, nb: int):
+    """Stage 1b on CPU (tests / oracle): vectorized extension + pointer-
+    doubling greedy commit (single segment, vmappable)."""
+    S = nb * BLOCK
+    pos = jnp.arange(S, dtype=jnp.int32)
+    mlen = extend_matches_xla(data_padded, mlen, dist, n, block_end - pos)
+    mlen = jnp.where(mlen >= C.MIN_MATCH_LENGTH, mlen, 0)
+    committed = greedy_commit_xla(mlen, n, ctx)
+    is_match = committed & (mlen > 0)
+    return committed, is_match, mlen, dist
+
+
 @partial(jax.jit, static_argnums=(3, 4))
 def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
                        ctx: jnp.ndarray, nb: int,
@@ -108,59 +180,58 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
     S = nb * BLOCK
     assert data_padded.shape[0] == S + PAD
     ctx = jnp.asarray(ctx, jnp.int32)
-    pos = jnp.arange(S, dtype=jnp.int32)
-    blk_orig = jnp.clip(pos - ctx, 0, S - 1) // BLOCK
+    n = jnp.asarray(n, jnp.int32)
 
     # ---- stage 1: matching + greedy parse (position layout) ---------------
-    mlen, dist = find_matches(data_padded, n)
-    # clip matches at block boundaries so token groups == byte ranges
-    block_end = ctx + (blk_orig + 1) * BLOCK
-    mlen = jnp.minimum(mlen, block_end - pos)
-    mlen = jnp.where(mlen >= C.MIN_MATCH_LENGTH, mlen, 0)
+    mlen, dist, block_end = _find_clip(data_padded, n, ctx, nb)
     if stage_cut == 1:
         return _cksum(mlen, dist), jnp.int32(0)
 
     if jax.default_backend() == "tpu":
-        # Pallas scalar walk: greedy commit + lazy extension (one pass)
-        from .walk_pallas import CHUNK as WCHUNK
-        from .walk_pallas import HALO as WHALO
-        from .walk_pallas import SLACK as WSLACK
-        from .walk_pallas import walk_batch
-
-        S_pad = -(-S // WCHUNK) * WCHUNK
-        minfo, grp = pack_match_info(mlen, dist, ctx, S_pad)
-        nbytes = WHALO + S_pad + WSLACK
-        pb = jnp.concatenate([
-            jnp.zeros(WHALO, jnp.uint8), data_padded,
-            jnp.zeros(nbytes - WHALO - data_padded.shape[0], jnp.uint8),
-        ]).reshape(-1, 4).astype(jnp.uint32)
-        words = pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16) | (pb[:, 3] << 24)
-        words = jax.lax.bitcast_convert_type(words, jnp.int32)
-        bits_o, minfo_o = walk_batch(
-            grp[None], minfo[None], words[None],
-            ctx.reshape(1), jnp.asarray(n, jnp.int32).reshape(1)
+        committed, is_match, mlen, dist = jax.tree.map(
+            lambda a: a[0],
+            _commit_walk_batch(data_padded[None], mlen[None], dist[None],
+                               n.reshape(1), ctx.reshape(1), nb),
         )
-        bits_o, minfo_o = bits_o[0], minfo_o[0]
-        match_start = (
-            (bits_o[:, None] >> jnp.arange(32, dtype=jnp.int32)[None, :]) & 1
-        ).reshape(-1)[:S] > 0
-        mlen = jnp.where(match_start, minfo_o[:S] & 511, 0)
-        dist = jnp.where(match_start, minfo_o[:S] >> 9, 0)
-        reach = jnp.where(match_start, pos + mlen, 0)
-        cmax = jax.lax.cummax(reach)
-        covered = jnp.concatenate([jnp.zeros(1, jnp.int32), cmax[:-1]]) > pos
-        committed = (match_start | ~covered) & (pos >= ctx) & (pos < n)
-        is_match = match_start
     else:
-        mlen = extend_matches_xla(data_padded, mlen, dist, n,
-                                  block_end - pos)
-        mlen = jnp.where(mlen >= C.MIN_MATCH_LENGTH, mlen, 0)
-        committed = greedy_commit_xla(mlen, n, ctx)
-        is_match = committed & (mlen > 0)
+        committed, is_match, mlen, dist = _commit_xla(
+            data_padded, mlen, dist, n, ctx, block_end, nb)
 
     if stage_cut == 2:
         return _cksum(committed, is_match, mlen, dist), jnp.int32(0)
 
+    res = _tokens_to_units(data_padded, n, ctx, committed, is_match,
+                           mlen, dist, nb, stage_cut)
+    if stage_cut is not None and 3 <= stage_cut <= 7:
+        return res
+    all_vals, all_wids = res
+
+    # ---- stage 8: pack -------------------------------------------------------
+    max_bits = 8 * S + nb * 64 + 64
+    n_words = max_bits // 32 + 2
+    if jax.default_backend() == "tpu":
+        # hierarchical dense merge + Pallas placement (ops/pack.py):
+        # ~15x cheaper than the scatter formulation on TPU
+        from .pack import pack_units_dense
+
+        words, total_bits = pack_units_dense(all_vals, all_wids, n_words)
+    else:
+        words, total_bits = pack_units(all_vals, all_wids, n_words)
+    return words, total_bits
+
+
+def _tokens_to_units(data_padded: jnp.ndarray, n: jnp.ndarray,
+                     ctx: jnp.ndarray, committed: jnp.ndarray,
+                     is_match: jnp.ndarray, mlen: jnp.ndarray,
+                     dist: jnp.ndarray, nb: int,
+                     stage_cut: int | None = None):
+    """Stages 2-7: committed tokens -> flat (value, width) unit arrays.
+
+    Pure per-segment array code (no Pallas), shared by the single-
+    segment path (with its stage_cut profiling hooks) and the batched
+    path (under jax.vmap).
+    """
+    S = nb * BLOCK
     xlen = jnp.where(is_match, mlen - 3, 0)
     xoff = jnp.where(is_match, dist - 1, 0)
     lc = T.length_code(jnp.clip(xlen, 0, 255))
@@ -374,25 +445,28 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
 
     if stage_cut == 7:
         return _cksum(all_vals, all_wids), jnp.int32(0)
-
-    # ---- stage 8: pack -------------------------------------------------------
-    max_bits = 8 * S + nb * 64 + 64
-    n_words = max_bits // 32 + 2
-    if jax.default_backend() == "tpu":
-        # hierarchical dense merge + Pallas placement (ops/pack.py):
-        # ~15x cheaper than the scatter formulation on TPU
-        from .pack import pack_units_dense
-
-        words, total_bits = pack_units_dense(all_vals, all_wids, n_words)
-    else:
-        words, total_bits = pack_units(all_vals, all_wids, n_words)
-    return words, total_bits
+    return all_vals, all_wids
 
 
 @partial(jax.jit, static_argnums=(2,))
 def encode_segment(data_padded: jnp.ndarray, n: jnp.ndarray, nb: int):
     """Context-free segment encode (the common path)."""
     return encode_segment_ctx(data_padded, n, jnp.int32(0), nb)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def encode_segments_mapped(data_padded: jnp.ndarray, n: jnp.ndarray,
+                           ctx: jnp.ndarray, nb: int):
+    """Sequential-over-segments encode (lax.map of the single-segment
+    pipeline): one dispatch, per-segment kernel shapes.  Kept alongside
+    the batched path for A/B measurement — XLA fuses the per-segment
+    shapes differently than the vmapped ones."""
+
+    def one(args):
+        d, nn, cc = args
+        return encode_segment_ctx(d, nn, cc, nb)
+
+    return jax.lax.map(one, (data_padded, n, ctx))
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -403,14 +477,37 @@ def encode_segments(data_padded: jnp.ndarray, n: jnp.ndarray,
     data_padded: uint8[B, nb*BLOCK + PAD]; n, ctx: int32[B].
     Returns (words uint32[B, W], total_bits int32[B]).
 
-    Segments run sequentially on-device via lax.map — the point is to
-    amortize the per-dispatch host/tunnel overhead (~50 ms measured on
-    the axon v5e link, 3x the per-segment compute) across a whole
-    corpus, while every kernel keeps its single-segment shape.
-    """
+    Every stage is genuinely batched (not lax.map-serialized, which
+    amortized only dispatch overhead): the matcher sorts run as
+    [B*NW, 65536] batched sorts, the Pallas walk commits all B segments
+    in one grid, the histogram/huffman/unit stages are vmapped (XLA
+    batching rules turn them into single wider ops), and the pack
+    placement kernel grids over (B, entity chunks).  Wider arrays keep
+    the VPU utilized where per-segment shapes ran at small-array
+    latency floors."""
+    B = data_padded.shape[0]
+    S = nb * BLOCK
+    n = jnp.asarray(n, jnp.int32).reshape(B)
+    ctx = jnp.asarray(ctx, jnp.int32).reshape(B)
+    mlen, dist, block_end = jax.vmap(
+        partial(_find_clip, nb=nb))(data_padded, n, ctx)
+    if jax.default_backend() == "tpu":
+        committed, is_match, mlen, dist = _commit_walk_batch(
+            data_padded, mlen, dist, n, ctx, nb)
+    else:
+        committed, is_match, mlen, dist = jax.vmap(
+            partial(_commit_xla, nb=nb)
+        )(data_padded, mlen, dist, n, ctx, block_end)
+    vals, wids = jax.vmap(
+        partial(_tokens_to_units, nb=nb)
+    )(data_padded, n, ctx, committed, is_match, mlen, dist)
+    max_bits = 8 * S + nb * 64 + 64
+    n_words = max_bits // 32 + 2
+    if jax.default_backend() == "tpu":
+        from .pack import pack_units_dense_batch
 
-    def one(args):
-        d, nn, cc = args
-        return encode_segment_ctx(d, nn, cc, nb)
-
-    return jax.lax.map(one, (data_padded, n, ctx))
+        words, total_bits = pack_units_dense_batch(vals, wids, n_words)
+    else:
+        words, total_bits = jax.vmap(
+            lambda v, w: pack_units(v, w, n_words))(vals, wids)
+    return words, total_bits

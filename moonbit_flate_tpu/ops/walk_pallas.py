@@ -116,7 +116,7 @@ def _make_kernel(w4t: int):
             state_ref[1] = ctx + C.MAX_STORE_BLOCK_SIZE  # next block boundary
 
         def zero_body(w, carry):
-            bits_out_ref[0, w] = 0
+            bits_out_ref[w] = 0
             return carry
 
         jax.lax.fori_loop(0, _NW, zero_body, 0)
@@ -150,7 +150,7 @@ def _make_kernel(w4t: int):
             cur, nbe = state
             local = cur - base
             wi = local >> 5
-            word = bits_ref[0, wi].astype(jnp.uint32) & (
+            word = bits_ref[wi].astype(jnp.uint32) & (
                 jnp.uint32(0xFFFFFFFF) << jnp.uint32(local & 31)
             )
 
@@ -160,7 +160,7 @@ def _make_kernel(w4t: int):
 
             def scan_body(s):
                 wi_, _ = s
-                return wi_ + 1, bits_ref[0, wi_ + 1].astype(jnp.uint32)
+                return wi_ + 1, bits_ref[wi_ + 1].astype(jnp.uint32)
 
             wi, word = jax.lax.while_loop(scan_cond, scan_body, (wi, word))
 
@@ -170,7 +170,7 @@ def _make_kernel(w4t: int):
             def has_match(word):
                 b = _tz32(word)
                 q = base + wi * 32 + b
-                info = minfo_ref[0, q - base]
+                info = minfo_ref[q - base]
                 d = info >> 9
                 L0 = info & 511
 
@@ -184,7 +184,6 @@ def _make_kernel(w4t: int):
                 max_l = jnp.minimum(
                     jnp.minimum(C.MAX_MATCH_LENGTH, n - q), nbe2 - q
                 )
-                L = jnp.minimum(L0, max_l)
 
                 def extend(_):
                     def econd(l):
@@ -197,15 +196,30 @@ def _make_kernel(w4t: int):
                     diff = load32(q + le) ^ load32(q - d + le)
                     return le + jnp.minimum(_tz_bytes(diff), max_l - le)
 
-                need_ext = (d > Z_LAGS) & (L0 == SORT_CAP) & (max_l > SORT_CAP)
-                L = jax.lax.cond(need_ext, extend, lambda _: L, 0)
+                # safety net: confirm the first 4 bytes before
+                # committing a sort candidate (exact today, but this
+                # keeps the kernel correct under any approximate
+                # matcher; ~10 cycles per commit)
+                is_cand = (d > Z_LAGS) & (L0 == SORT_CAP)
+                verified = ~is_cand | (load32(q) == load32(q - d))
 
-                bits_out_ref[0, wi] = (
-                    bits_out_ref[0, wi].astype(jnp.uint32)
-                    | (jnp.uint32(1) << jnp.uint32(b))
-                ).astype(jnp.int32)
-                minfo_out_ref[0, q - base] = (d << 9) | L
-                return q + L, nbe2
+                def commit(_):
+                    L = jnp.minimum(L0, max_l)
+                    need_ext = is_cand & (max_l > SORT_CAP)
+                    L2 = jax.lax.cond(need_ext, extend, lambda _: L, 0)
+                    bits_out_ref[wi] = (
+                        bits_out_ref[wi].astype(jnp.uint32)
+                        | (jnp.uint32(1) << jnp.uint32(b))
+                    ).astype(jnp.int32)
+                    minfo_out_ref[q - base] = (d << 9) | L2
+                    return q + L2
+
+                def reject(_):
+                    # hash collision: skip just this position and rescan
+                    return q + 1
+
+                nxt = jax.lax.cond(verified, commit, reject, 0)
+                return nxt, nbe2
 
             return jax.lax.cond(word == 0, no_match, has_match, word)
 
@@ -257,24 +271,28 @@ def walk_batch(bits: jnp.ndarray, minfo: jnp.ndarray,
         [jnp.asarray(ctx, jnp.int32).reshape(B),
          jnp.asarray(n, jnp.int32).reshape(B)], axis=1
     )
-    # pad each chunk's bitmask row from _NW to _NWP words (layout, §above)
+    # pad each chunk's bitmask row from _NW to _NWP words (layout, §above).
+    # All chunked arrays are FLAT 1-D with 1-D blocks: 2-D (1, k) blocks
+    # over a (B, ...) array violate Mosaic's last-two-dims rule for any
+    # B > 1; 1-D SMEM blocks only need the (1024) tile.
     bits = jnp.pad(
         bits.reshape(B, n_chunks, _NW), ((0, 0), (0, 0), (0, _NWP - _NW))
-    ).reshape(B, n_chunks * _NWP)
+    ).reshape(B * n_chunks * _NWP)
+    minfo_flat = minfo.reshape(B * S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, _NWP), lambda g, t, s: (g, t),
+            pl.BlockSpec((_NWP,), lambda g, t, s: (g * n_chunks + t,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, CHUNK), lambda g, t, s: (g, t),
+            pl.BlockSpec((CHUNK,), lambda g, t, s: (g * n_chunks + t,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, _NWP), lambda g, t, s: (g, t),
+            pl.BlockSpec((_NWP,), lambda g, t, s: (g * n_chunks + t,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, CHUNK), lambda g, t, s: (g, t),
+            pl.BlockSpec((CHUNK,), lambda g, t, s: (g * n_chunks + t,),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
@@ -288,10 +306,10 @@ def walk_batch(bits: jnp.ndarray, minfo: jnp.ndarray,
         _make_kernel(w4t),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, n_chunks * _NWP), jnp.int32),
-            jax.ShapeDtypeStruct((B, S), jnp.int32),
+            jax.ShapeDtypeStruct((B * n_chunks * _NWP,), jnp.int32),
+            jax.ShapeDtypeStruct((B * S,), jnp.int32),
         ],
         interpret=interpret,
-    )(params, bits, minfo, words_flat)
+    )(params, bits, minfo_flat, words_flat)
     bits_out = bits_out.reshape(B, n_chunks, _NWP)[:, :, :_NW]
-    return bits_out.reshape(B, S // 32), minfo_out
+    return bits_out.reshape(B, S // 32), minfo_out.reshape(B, S)

@@ -46,19 +46,31 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis_name,))
 
 
-def make_sharded_encoder(mesh: Mesh, nb: int):
+def make_sharded_encoder(mesh: Mesh, nb: int, word_cap: int | None = None):
     """Build the jitted multi-device encode + on-device stitch step.
 
     Input:  data uint8[D, nb*BLOCK+PAD] sharded over 'data',
             n int32[D] valid byte counts (context + payload),
             ctx int32[D] context-prefix lengths.
-    Output: stream uint32[GW] replicated assembled stream words,
+    Output: stream uint32[D*Wc+2] replicated assembled stream words,
             sizes int32[D] per-shard compressed byte counts (replicated),
             total int32 total stream bytes (replicated).
+
+    Comms are size-proportional (SURVEY §5.8): each shard contributes
+    ``word_cap`` words to ONE all-gather (ring comm ~ D * word_cap per
+    device) and the byte-exact stitch happens locally from the gathered
+    shards + sizes.  ``word_cap`` defaults to the incompressible worst
+    case; callers that know their data compresses pass a tighter cap
+    (ShardedCompressor checks the returned sizes and retries a wave at
+    full cap on overflow — sizes are exact regardless of the cap, only
+    the gathered words truncate).  The earlier design psum'd a
+    replicated D*W-word stream buffer instead, moving ~2x the data of
+    the all-gather at FULL cap regardless of compressed size.
     """
     D = mesh.devices.size
-    W = (8 * nb * BLOCK + nb * 64 + 64) // 32 + 2   # per-shard word cap
-    GW = D * W + 2                                   # global stream words
+    W_full = (8 * nb * BLOCK + nb * 64 + 64) // 32 + 2  # worst-case words
+    Wc = W_full if word_cap is None else min(word_cap, W_full)
+    GW = D * Wc + 2                                     # stream buffer words
 
     @jax.jit
     @partial(
@@ -71,27 +83,36 @@ def make_sharded_encoder(mesh: Mesh, nb: int):
         words, bits = encode_segment_ctx(data[0], n[0], ctx[0], nb)
         nbytes = bits // 8            # segments end byte-aligned
         my = jax.lax.axis_index("data")
-        # psum'd one-hot == all_gather, but its replication is
-        # statically inferrable under shard_map's VMA checking
+        # psum'd one-hots: replication is statically inferrable under
+        # shard_map's VMA checking (a plain all_gather is not)
         sizes = jax.lax.psum(
             jnp.where(jnp.arange(D) == my, nbytes, 0), "data"
         )                                                    # [D]
-        offset = jnp.sum(jnp.where(jnp.arange(D) < my, sizes, 0))
         total = jax.lax.psum(nbytes, "data")
+        onehot = (jnp.arange(D) == my).astype(jnp.uint32)
+        aw = jax.lax.psum(
+            onehot[:, None] * words[:Wc].astype(jnp.uint32)[None, :], "data"
+        )                                                    # [D, Wc]
 
-        # place this shard's words at its absolute byte offset:
-        # byte-granular shift within a word, then a contiguous
-        # dynamic-update-slice at the word offset; psum assembles the
-        # stream (shard regions are byte-disjoint, add == or).
-        sh = (offset % 4).astype(jnp.uint32) * 8
-        w = words.astype(jnp.uint32)
-        lo = jnp.where(sh > 0, w << sh, w)
-        hi = jnp.where(sh > 0, (w >> 1) >> (31 - sh), 0)
-        seg = jnp.concatenate([lo, jnp.zeros(1, jnp.uint32)])
-        seg = seg.at[1:].set(seg[1:] | hi)
-        buf = jnp.zeros(GW, jnp.uint32)
-        buf = jax.lax.dynamic_update_slice(buf, seg, (offset // 4,))
-        stream = jax.lax.psum(buf, "data")
+        # local stitch (replicated compute): place each shard's words at
+        # its absolute byte offset — byte-granular shift, then OR into
+        # the stream buffer (shard regions are byte-disjoint, and words
+        # past a shard's size are zero, so OR composes exactly).
+        csum = jnp.cumsum(sizes)
+        offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
+
+        def place(d, buf):
+            off = offsets[d]
+            sh = (off % 4).astype(jnp.uint32) * 8
+            w = aw[d]
+            lo = jnp.where(sh > 0, w << sh, w)
+            hi = jnp.where(sh > 0, (w >> 1) >> (31 - sh), 0)
+            seg = jnp.concatenate([lo, jnp.zeros(1, jnp.uint32)])
+            seg = seg.at[1:].set(seg[1:] | hi)
+            cur = jax.lax.dynamic_slice(buf, (off // 4,), (Wc + 1,))
+            return jax.lax.dynamic_update_slice(buf, cur | seg, (off // 4,))
+
+        stream = jax.lax.fori_loop(0, D, place, jnp.zeros(GW, jnp.uint32))
         return stream, sizes, total
 
     return step
@@ -107,13 +128,20 @@ class ShardedCompressor:
     """
 
     def __init__(self, mesh: Mesh | None = None, blocks_per_segment: int = 16,
-                 halo: bool = False):
+                 halo: bool = False, word_cap: int | None = None):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.nb = blocks_per_segment
         self.seg = self.nb * BLOCK
         self.halo = halo
         self.n_dev = self.mesh.devices.size
-        self._step = make_sharded_encoder(self.mesh, self.nb)
+        self.word_cap = word_cap
+        self._step = make_sharded_encoder(self.mesh, self.nb, word_cap)
+        self._step_full = self._step if word_cap is None else None
+
+    def _full_step(self):
+        if self._step_full is None:
+            self._step_full = make_sharded_encoder(self.mesh, self.nb)
+        return self._step_full
 
     def compress(self, data: bytes, dictionary: bytes | None = None) -> bytes:
         data = bytes(data)
@@ -150,6 +178,15 @@ class ShardedCompressor:
             stream, sizes, total = self._step(
                 jnp.asarray(batch), jnp.asarray(ns), jnp.asarray(cs)
             )
+            if self.word_cap is not None and (
+                np.asarray(sizes) > 4 * self.word_cap - 4
+            ).any():
+                # a shard overflowed the tight gather cap (incompressible
+                # data): redo this wave with the worst-case cap — sizes
+                # are exact either way, only gathered words truncate
+                stream, sizes, total = self._full_step()(
+                    jnp.asarray(batch), jnp.asarray(ns), jnp.asarray(cs)
+                )
             out.append(np.asarray(stream).view("<u4").tobytes()[: int(total)])
         out.append(FINAL_EMPTY_BLOCK)
         return b"".join(out)
