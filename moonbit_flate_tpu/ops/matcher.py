@@ -153,6 +153,10 @@ def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
     key = jnp.concatenate([halves[:-1], halves[1:]], axis=1)   # [NW, W]
     jloc = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (NW, W))
 
+    # (A halves-sorted + hand-built bitonic merge factoring was tried
+    # and reverted: 16 unfused compare-exchange passes — whether
+    # reshape- or roll-based — cost more HBM traffic than the fused
+    # lax.sort comparator network saves; measured +3.3 ms/MB.)
     skey, sj = jax.lax.sort(
         (key, jloc), dimension=1, is_stable=True, num_keys=1
     )

@@ -45,7 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats import constants as C
 from .matcher import SORT_CAP, Z_LAGS
 
-CHUNK = 8192          # positions per grid step
+CHUNK = 8192          # positions per grid step (16384 was tried:
+                      # ~3x slower end-to-end — larger SMEM blocks cost
+                      # more than the halved per-chunk overheads save)
 HALO = 1 << 15        # history bytes needed by extension (max distance)
 SLACK = 4096          # extension overrun past the chunk (needs only
                       # 258 + 8 bytes; rounded up so the DMA'd window is
@@ -186,15 +188,26 @@ def _make_kernel(w4t: int):
                 )
 
                 def extend(_):
+                    # 8 bytes per iteration (4 SMEM loads — same loads
+                    # per byte as a 4-byte step, half the loop overhead;
+                    # long matches are the common case on RLE-ish data)
                     def econd(l):
-                        return (l + 4 <= max_l) & (
+                        return (l + 8 <= max_l) & (
                             load32(q + l) == load32(q - d + l)
+                        ) & (
+                            load32(q + l + 4) == load32(q - d + l + 4)
                         )
 
-                    le = jax.lax.while_loop(econd, lambda l: l + 4,
+                    le = jax.lax.while_loop(econd, lambda l: l + 8,
                                             jnp.int32(SORT_CAP))
-                    diff = load32(q + le) ^ load32(q - d + le)
-                    return le + jnp.minimum(_tz_bytes(diff), max_l - le)
+                    # tail: up to 7 more matching bytes across two words
+                    # (window SLACK covers reads past the chunk; the
+                    # final min() clips any agreement past max_l)
+                    d0 = load32(q + le) ^ load32(q - d + le)
+                    t0 = _tz_bytes(d0)
+                    d1 = load32(q + le + 4) ^ load32(q - d + le + 4)
+                    tail = jnp.where(t0 == 4, 4 + _tz_bytes(d1), t0)
+                    return le + jnp.minimum(tail, max_l - le)
 
                 # safety net: confirm the first 4 bytes before
                 # committing a sort candidate (exact today, but this

@@ -52,7 +52,7 @@ def run(data, n, ctx, upto="pack"):
 
 
 def main():
-    corpus = make_corpus(total=B * SEG, seed=5)
+    corpus = make_corpus(total=B * SEG, seed=int(os.environ.get("MF_PROF_SEED", "5")))
     buf = np.zeros((B, SEG + PL.PAD), np.uint8)
     for i in range(B):
         buf[i, :SEG] = np.frombuffer(corpus[i * SEG:(i + 1) * SEG], np.uint8)
@@ -60,6 +60,27 @@ def main():
     n = jnp.full(B, SEG, jnp.int32)
     ctx = jnp.zeros(B, jnp.int32)
     mb = B * SEG / 1e6
+
+    # full encode_segments: words output materialized vs checksummed
+    from moonbit_flate_tpu.ops.pipeline import encode_segments
+
+    @jax.jit
+    def full_sum(d, nn, cc):
+        w, b = encode_segments(d, nn, cc, NB)
+        return PL._cksum(w, b)
+
+    for name, f in (("full", lambda d, nn, cc: encode_segments(d, nn, cc, NB)[1]),
+                    ("full_sum", full_sum)):
+        t0 = time.time()
+        np.asarray(f(xb, n, ctx))
+        cold = time.time() - t0
+        t0 = time.time()
+        for r in range(3):
+            xr = xb.at[0, 0].set((int(buf[0, 0]) + r + 1) % 256)
+            np.asarray(f(xr, n, ctx))
+        dt = (time.time() - t0) / 3
+        print(f"{name:8s}: cold {cold:6.2f}s  warm {dt*1000:8.1f} ms "
+              f"= {dt/mb*1000:6.2f} ms/MB", flush=True)
 
     prev = 0.0
     for upto in ("stage1", "walk", "units", "pack"):
