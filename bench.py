@@ -226,6 +226,32 @@ def main():
             dt_d = time.time() - t0
             assert b"".join(outs_dec) == b"".join(zsegs[i] for i in rot)
             extra["decode_tpu_gbps"] = round(nbytes / dt_d / 1e9, 4)
+
+            # compute-only decode (same convention as the encode
+            # headline: all work happens on device, the decoded bytes
+            # are checksummed instead of shipped through the link)
+            from moonbit_flate_tpu.inflate.tpu_inflate import _parse_resolve
+            from moonbit_flate_tpu.ops.parse_pallas import (OUT_CHUNK,
+                                                            _stage_streams)
+            from moonbit_flate_tpu.ops.pipeline import _cksum as _ck
+
+            n_chunks_d = -(-(seg + 1) // OUT_CHUNK)
+            no_pad_d = ((seg + 1 + (1 << 18) - 1) // (1 << 18)) * (1 << 18)
+            nt_pad_d = min(no_pad_d, n_chunks_d * OUT_CHUNK)
+
+            @jax.jit
+            def dec_compute(nb_d, w_d):
+                out, cnt = _parse_resolve(nb_d, w_d, n_chunks_d, nt_pad_d,
+                                          no_pad_d, False, True)
+                return _ck(out, cnt)
+
+            nb_d, w_d = _stage_streams(zstreams)
+            np.asarray(dec_compute(nb_d, w_d))  # warm
+            nb_r, w_r = _stage_streams([zstreams[i] for i in rot])
+            t0 = time.time()
+            np.asarray(dec_compute(nb_r, w_r))
+            dt_dc = time.time() - t0
+            extra["decode_tpu_compute_gbps"] = round(nbytes / dt_dc / 1e9, 4)
             # our own streams must round-trip on-device too
             outs_own = decompress_segments(outs, [seg] * n_segs)
             assert b"".join(outs_own) == corpus
