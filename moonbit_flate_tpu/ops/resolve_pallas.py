@@ -95,6 +95,17 @@ def _make_kernel(nt_per: int):
             return ((win[wi].astype(jnp.uint32) >> sh)
                     & jnp.uint32(0xFF)).astype(jnp.int32)
 
+        def get_word(p):
+            """Unaligned little-endian 4-byte window load at byte p."""
+            wi = (p >> 2) & (_WINW - 1)
+            wj = ((p >> 2) + 1) & (_WINW - 1)
+            sh = jnp.asarray((p & 3) << 3, jnp.uint32)
+            lo = win[wi].astype(jnp.uint32)
+            hi = win[wj].astype(jnp.uint32)
+            return jnp.where(
+                sh == 0, lo, (lo >> sh) | (hi << (jnp.uint32(32) - sh))
+            ).astype(jnp.int32)
+
         def loop_cond(c):
             op, rem, tk = c
             return (op < out_end) & ((rem > 0) | (tk < ntok))
@@ -111,8 +122,29 @@ def _make_kernel(nt_per: int):
                     put_byte(o, get_byte(o - d))
                     return o + 1
 
-                op2 = jax.lax.while_loop(lambda o: o < stop, cbody, op)
-                return op2, rem - (op2 - op), tk
+                # bytes until the destination is word-aligned (d < 4 —
+                # the overlapping-RLE regime — stays byte-wise: a word
+                # copy there would read bytes not yet written)
+                def head_cond(o):
+                    return (o < stop) & (((o & 3) != 0) | (d < 4))
+
+                op1 = jax.lax.while_loop(head_cond, cbody, op)
+
+                # full destination words: one unaligned source load +
+                # one aligned store per 4 bytes (source bytes all
+                # precede the destination since d >= 4)
+                def wbody(o):
+                    win[(o >> 2) & (_WINW - 1)] = get_word(o - d)
+                    return o + 4
+
+                op2 = jax.lax.cond(
+                    d >= 4,
+                    lambda o: jax.lax.while_loop(
+                        lambda o2: o2 + 4 <= stop, wbody, o),
+                    lambda o: o, op1)
+
+                op3 = jax.lax.while_loop(lambda o: o < stop, cbody, op2)
+                return op3, rem - (op3 - op), tk
 
             def do_token(c):
                 op, rem, tk = c
