@@ -107,7 +107,7 @@ def main():
     ctx0 = jnp.zeros(n_segs, jnp.int32)
 
     # warmup/compile + correctness check over the whole corpus
-    wb, bb = encode_segments(xb, n_arr, ctx0, nb)
+    wb, bb = encode_segments(xb, n_arr, ctx0, nb, True)
     wb_h = np.asarray(wb)
     bits_h = np.asarray(bb)
     outs = [wb_h[i].view("<u4").tobytes()[: int(bits_h[i]) // 8]
@@ -136,10 +136,10 @@ def main():
 
     @_partial(jax.jit, static_argnums=(3,))
     def enc_compute(x, nn, cc, nb):
-        w, b = encode_segments(x, nn, cc, nb)
+        w, b = encode_segments(x, nn, cc, nb, True)
         return b, _cksum(w)
 
-    reps = 1 if SMOKE else 3
+    reps = 1 if SMOKE else 5
     np.asarray(enc_compute(xb, n_arr, ctx0, nb)[1])  # warm
     dts = []
     for r in range(reps):
@@ -162,7 +162,7 @@ def main():
 
         @_partial(jax.jit, static_argnums=(3, 4))
         def enc_fetch(x, nn, cc, nb, cap):
-            w, b = encode_segments(x, nn, cc, nb)
+            w, b = encode_segments(x, nn, cc, nb, True)
             stream, total = compact_streams(w, b)
             return stream[:cap], total
 

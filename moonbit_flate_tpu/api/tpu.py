@@ -43,7 +43,8 @@ class TPUCompressor:
             buf[:ctx] = np.frombuffer(context, np.uint8)
         buf[ctx:n] = np.frombuffer(seg, np.uint8)
         words, total_bits = encode_segment_ctx(
-            jnp.asarray(buf), jnp.int32(n), jnp.int32(ctx), self.nb
+            jnp.asarray(buf), jnp.int32(n), jnp.int32(ctx), self.nb,
+            None, ctx == 0
         )
         total_bits = int(total_bits)
         assert total_bits % 8 == 0

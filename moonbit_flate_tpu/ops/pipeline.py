@@ -161,10 +161,11 @@ def _commit_xla(data_padded: jnp.ndarray, mlen: jnp.ndarray,
     return committed, is_match, mlen, dist
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
                        ctx: jnp.ndarray, nb: int,
-                       stage_cut: int | None = None):
+                       stage_cut: int | None = None,
+                       ctx_is_zero: bool = False):
     """Compress one segment of up to nb*65535 payload bytes.
 
     data_padded: uint8[nb*BLOCK + PAD] (zero padded past n).  The first
@@ -201,7 +202,7 @@ def encode_segment_ctx(data_padded: jnp.ndarray, n: jnp.ndarray,
         return _cksum(committed, is_match, mlen, dist), jnp.int32(0)
 
     res = _tokens_to_units(data_padded, n, ctx, committed, is_match,
-                           mlen, dist, nb, stage_cut)
+                           mlen, dist, nb, stage_cut, ctx_is_zero)
     if stage_cut is not None and 3 <= stage_cut <= 7:
         return res
     all_vals, all_wids = res
@@ -224,7 +225,8 @@ def _tokens_to_units(data_padded: jnp.ndarray, n: jnp.ndarray,
                      ctx: jnp.ndarray, committed: jnp.ndarray,
                      is_match: jnp.ndarray, mlen: jnp.ndarray,
                      dist: jnp.ndarray, nb: int,
-                     stage_cut: int | None = None):
+                     stage_cut: int | None = None,
+                     ctx_is_zero: bool = False):
     """Stages 2-7: committed tokens -> flat (value, width) unit arrays.
 
     Pure per-segment array code (no Pallas), shared by the single-
@@ -240,7 +242,11 @@ def _tokens_to_units(data_padded: jnp.ndarray, n: jnp.ndarray,
     sym = jnp.where(is_match, 257 + lc, data)
 
     # ---- roll to block-aligned payload layout [nb, BLOCK] ------------------
+    # (the roll by a traced ctx costs ~8 full-array copies; the common
+    # context-free path declares ctx == 0 statically and skips them)
     def blkify(a):
+        if ctx_is_zero:
+            return a.reshape(nb, BLOCK)
         return jnp.roll(a, -ctx, 0).reshape(nb, BLOCK)
 
     jpos_b = jnp.arange(BLOCK, dtype=jnp.int32)
@@ -485,9 +491,9 @@ def compact_streams(words: jnp.ndarray, bits: jnp.ndarray):
     return buf, csum[-1]
 
 
-@partial(jax.jit, static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3, 4))
 def encode_segments(data_padded: jnp.ndarray, n: jnp.ndarray,
-                    ctx: jnp.ndarray, nb: int):
+                    ctx: jnp.ndarray, nb: int, ctx_is_zero: bool = False):
     """Batched segment encode: one dispatch for B independent segments
     (lax.map of the single-segment pipeline).
 
@@ -502,7 +508,7 @@ def encode_segments(data_padded: jnp.ndarray, n: jnp.ndarray,
 
     def one(args):
         d, nn, cc = args
-        return encode_segment_ctx(d, nn, cc, nb)
+        return encode_segment_ctx(d, nn, cc, nb, None, ctx_is_zero)
 
     return jax.lax.map(one, (data_padded, n, ctx))
 
