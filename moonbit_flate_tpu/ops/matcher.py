@@ -151,7 +151,9 @@ def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
     )
     halves = u32p[: (NW + 1) * H].reshape(NW + 1, H)
     key = jnp.concatenate([halves[:-1], halves[1:]], axis=1)   # [NW, W]
-    jloc = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32), (NW, W))
+    # in-window positions fit u16: half the payload traffic through
+    # the comparator network
+    jloc = jnp.broadcast_to(jnp.arange(W, dtype=jnp.uint16), (NW, W))
 
     # (A halves-sorted + hand-built bitonic merge factoring was tried
     # and reverted: 16 unfused compare-exchange passes — whether
@@ -160,12 +162,15 @@ def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
     skey, sj = jax.lax.sort(
         (key, jloc), dimension=1, is_stable=True, num_keys=1
     )
-    cand_s = _resolve_sorted(skey, sj, axis=1)
+    same = skey == jnp.pad(skey, ((0, 0), (1, 0)))[:, :W]
+    same = same.at[:, 0].set(False)
+    prevj = jnp.pad(sj, ((0, 0), (1, 0)))[:, :W]
+    # sentinel 0xFFFF = no candidate: a real candidate is always
+    # strictly below its position <= 0xFFFF
+    cand16 = jnp.where(same, prevj, jnp.uint16(0xFFFF))
 
-    # route back to position order (sentinel 0xFFFF = no candidate; a
-    # real candidate is always < its position <= 0xFFFF)
-    cand16 = jnp.where(cand_s >= 0, cand_s, 0xFFFF).astype(jnp.uint32)
-    k2 = (sj.astype(jnp.uint32) << 16) | cand16
+    # route back to position order with a single-operand u32 sort
+    k2 = (sj.astype(jnp.uint32) << 16) | cand16.astype(jnp.uint32)
     k2s = jax.lax.sort(k2, dimension=1)
     cand_w = (k2s & jnp.uint32(0xFFFF)).astype(jnp.int32)
     cand_w = jnp.where(cand_w == 0xFFFF, -1, cand_w)

@@ -41,7 +41,7 @@ import numpy as np
 
 from ..formats import constants as C
 from . import tables as T
-from .dense import hist_rows, take_rows, take_rows_stack
+from .dense import hist_rows, take_rows
 from .header import SEQ_LEN, codegen_emissions
 from .huffman_jax import build_codes
 from .matcher import (extend_matches_xla, find_matches, greedy_commit_xla,
@@ -379,11 +379,10 @@ def _tokens_to_units(data_padded: jnp.ndarray, n: jnp.ndarray,
     )
 
     # codegen stream: one fused unit per emission (code | payload << len)
+    # (code and len ride ONE packed table -> one one-hot reduction)
     cg_sym_c = jnp.clip(cg_sym, 0, 18)
-    cg_cl = take_rows_stack(
-        jnp.stack([cg_codes, cg_lens], axis=-1), cg_sym_c
-    )
-    cg_code_u, cg_len_u = cg_cl[..., 0], cg_cl[..., 1]
+    cg_g = take_rows(cg_codes | (cg_lens << 16), cg_sym_c)
+    cg_code_u, cg_len_u = cg_g & 0xFFFF, cg_g >> 16
     emit = dyn_sel[:, None] & (cg_sym >= 0)
     cgu_v = jnp.where(emit, cg_code_u | (cg_pv << cg_len_u), 0)
     cgu_w = jnp.where(emit, cg_len_u + cg_pw, 0)
@@ -391,11 +390,11 @@ def _tokens_to_units(data_padded: jnp.ndarray, n: jnp.ndarray,
     hdr_vals = jnp.concatenate([head4_v, cl_v, cgu_v], axis=1)
     hdr_wids = jnp.concatenate([head4_w, cl_w, cgu_w], axis=1)
 
-    # token zone: [nb, BLOCK, 2] — per-block code tables broadcast densely
-    lit_cl = take_rows_stack(
-        jnp.stack([lit_codes, lit_lens], axis=-1), sym_b
-    )
-    lit_code_g, lit_len_g = lit_cl[..., 0], lit_cl[..., 1]
+    # token zone: [nb, BLOCK] — per-block code tables broadcast densely;
+    # codes (<= 15 bits) and lens (<= 15) share one packed i32 table so
+    # the [N, 286] one-hot reduction runs once, not twice
+    lit_g = take_rows(lit_codes | (lit_lens << 16), sym_b)
+    lit_code_g, lit_len_g = lit_g & 0xFFFF, lit_g >> 16
     len_base_b, len_eb_b = T.length_base_extra(lc_b)
     leb = jnp.where(is_match_b, len_eb_b, 0)
     len_ev = jnp.where(is_match_b, xlen_b - (len_base_b - 3), 0)
@@ -412,10 +411,8 @@ def _tokens_to_units(data_padded: jnp.ndarray, n: jnp.ndarray,
     )
 
     m_dyn = is_match_b & dyn_b
-    off_cl = take_rows_stack(
-        jnp.stack([off_codes, off_lens], axis=-1), dc_b
-    )
-    off_code_g, off_len_g = off_cl[..., 0], off_cl[..., 1]
+    off_g = take_rows(off_codes | (off_lens << 16), dc_b)
+    off_code_g, off_len_g = off_g & 0xFFFF, off_g >> 16
     off_base_b, off_eb_b = T.offset_base_extra(dc_b)
     oeb = off_eb_b
     off_ev = xoff_b - (off_base_b - 1)
