@@ -50,7 +50,7 @@ from .matcher import (extend_matches_xla, find_matches, greedy_commit_xla,
 BLOCK = C.MAX_STORE_BLOCK_SIZE          # 65535
 PAD = 320                               # matcher gather slack
 HDR_UNITS = 4 + 19 + SEQ_LEN            # 339 header unit slots per block
-UNITS_PER_POS = 2
+UNITS_PER_POS = 1   # fused <=48-bit emissions; spill rides the next slot
 
 _ORDER_NP = np.asarray(C.CODEGEN_ORDER, np.int32)  # static permutation
 
@@ -402,25 +402,49 @@ def _tokens_to_units(data_padded: jnp.ndarray, n: jnp.ndarray,
     st_b = st[:, None]
     dyn_b = dyn_sel[:, None]
     u0_dyn = committed_b & dyn_b
-    u0_val = jnp.where(
-        st_b, data_b,
-        jnp.where(u0_dyn, lit_code_g | (len_ev << lit_len_g), 0),
-    )
-    u0_wid = jnp.where(
-        st_b & valid, 8, jnp.where(u0_dyn, lit_len_g + leb, 0)
-    )
-
     m_dyn = is_match_b & dyn_b
+
     off_g = take_rows(off_codes | (off_lens << 16), dc_b)
     off_code_g, off_len_g = off_g & 0xFFFF, off_g >> 16
     off_base_b, off_eb_b = T.offset_base_extra(dc_b)
     oeb = off_eb_b
     off_ev = xoff_b - (off_base_b - 1)
-    u1_val = jnp.where(m_dyn, off_code_g | (off_ev << off_len_g), 0)
-    u1_wid = jnp.where(m_dyn, off_len_g + oeb, 0)
 
-    tok_vals = jnp.stack([u0_val, u1_val], axis=2).reshape(nb, UNITS_PER_POS * BLOCK)
-    tok_wids = jnp.stack([u0_wid, u1_wid], axis=2).reshape(nb, UNITS_PER_POS * BLOCK)
+    # ONE unit slot per position (halving the pack's slot count, its
+    # dominant cost): each committed position fuses its whole emission
+    # — lit/len code, length extra, offset code, offset extra, LSB
+    # first, <= 48 bits — and splits at the 28-bit unit cap.  The tail
+    # spills into the NEXT position's slot: a match is >= 4 bytes even
+    # after block clipping, so the next slot is always covered (never
+    # itself committed), and spills never cross a block boundary.
+    a_val = (lit_code_g | (len_ev << lit_len_g)).astype(jnp.uint32)
+    a_w = lit_len_g + leb                                  # <= 20
+    b_val = jnp.where(
+        m_dyn, off_code_g | (off_ev << off_len_g), 0
+    ).astype(jnp.uint32)
+    b_w = jnp.where(m_dyn, off_len_g + oeb, 0)             # <= 28
+    s1 = jnp.asarray(a_w, jnp.uint32)
+    lo48 = a_val | (b_val << s1)
+    hi48 = (b_val >> jnp.uint32(1)) >> (jnp.uint32(31) - s1)  # b >> (32-s1)
+    w48 = a_w + b_w
+    u0_w = jnp.minimum(w48, 28)
+    sp_w = w48 - u0_w                                      # <= 20
+    u0s = jnp.asarray(u0_w, jnp.uint32)
+    u0_val48 = (lo48 & ((jnp.uint32(1) << u0s) - 1)).astype(jnp.int32)
+    sp_val = ((lo48 >> u0s)
+              | ((hi48 << jnp.uint32(1)) << (jnp.uint32(31) - u0s))
+              ).astype(jnp.int32)
+
+    u0_val = jnp.where(st_b, data_b, jnp.where(u0_dyn, u0_val48, 0))
+    u0_wid = jnp.where(st_b & valid, 8, jnp.where(u0_dyn, u0_w, 0))
+    sp_v = jnp.where(m_dyn, sp_val, 0)
+    sp_wg = jnp.where(m_dyn, sp_w, 0)
+    spill_v = jnp.pad(sp_v[:, :-1], ((0, 0), (1, 0)))
+    spill_w = jnp.pad(sp_wg[:, :-1], ((0, 0), (1, 0)))
+    # a slot holds its own emission OR a predecessor's spill, never
+    # both (the spill's target is covered, hence width-0 itself)
+    tok_vals = u0_val | spill_v
+    tok_wids = u0_wid + spill_w
 
     # EOB unit per block
     eob_v = jnp.where(dyn_sel, lit_codes[:, C.END_BLOCK_MARKER], 0)[:, None]
