@@ -45,9 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats import constants as C
 from .matcher import SORT_CAP, Z_LAGS
 
-CHUNK = 8192          # positions per grid step (16384 was tried:
-                      # ~3x slower end-to-end — larger SMEM blocks cost
-                      # more than the halved per-chunk overheads save)
+CHUNK = 8192          # positions per grid step (measured optimum:
+                      # 16384 is ~3x slower — larger SMEM blocks cost
+                      # more than fewer per-chunk overheads save — and
+                      # 4096 is ~15x slower — per-grid-step block
+                      # copies dominate)
 HALO = 1 << 15        # history bytes needed by extension (max distance)
 SLACK = 4096          # extension overrun past the chunk (needs only
                       # 258 + 8 bytes; rounded up so the DMA'd window is

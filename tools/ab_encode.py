@@ -23,7 +23,7 @@ from functools import partial  # noqa: E402
 
 from moonbit_flate_tpu.ops.pipeline import (BLOCK, PAD, _cksum,  # noqa: E402
                                             encode_segments,
-                                            encode_segments_mapped)
+                                            encode_segments_batched)
 
 NB = 16
 SEG = NB * BLOCK
@@ -41,8 +41,8 @@ def main():
     ctx = jnp.zeros(n_segs, jnp.int32)
     mb = n_segs * SEG / 1e6
 
-    for name, fn in (("batched", encode_segments),
-                     ("mapped", encode_segments_mapped)):
+    for name, fn in (("mapped", encode_segments),
+                     ("batched", encode_segments_batched)):
         t0 = time.time()
         wb, bb = fn(xb, n, ctx, NB)
         wb_h, bits_h = np.asarray(wb), np.asarray(bb)
