@@ -143,3 +143,29 @@ def test_segment_independence(tc):
     # first segment bytes coincide (strip 5-byte final marker from `first`)
     seg1 = first[:-5]
     assert whole[: len(seg1)] == seg1
+
+
+def test_compact_streams_matches_host_concat():
+    """Device-side stream compaction == host byte concatenation."""
+    import numpy as np
+
+    from moonbit_flate_tpu.ops.pipeline import compact_streams
+
+    rng = np.random.default_rng(9)
+    B, W = 5, 64
+    words = np.zeros((B, W), np.uint32)
+    sizes = []
+    blobs = []
+    for b in range(B):
+        nbytes = int(rng.integers(0, 4 * W - 8))
+        blob = rng.integers(0, 256, nbytes, np.uint8).tobytes()
+        padded = blob + b"\x00" * ((-len(blob)) % 4)
+        if padded:
+            words[b, : len(padded) // 4] = np.frombuffer(padded, "<u4")
+        sizes.append(nbytes)
+        blobs.append(blob)
+    bits = jnp.asarray(np.asarray(sizes, np.int32) * 8)
+    stream, total = compact_streams(jnp.asarray(words), bits)
+    assert int(total) == sum(sizes)
+    got = np.asarray(stream).view("<u4").tobytes()[: int(total)]
+    assert got == b"".join(blobs)
