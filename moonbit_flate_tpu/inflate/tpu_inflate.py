@@ -239,8 +239,12 @@ def decompress_segments(streams: list[bytes], out_sizes: list[int],
         return []
     cap = max(max(out_sizes), 1)
     n_chunks = -(-(cap + 1) // OUT_CHUNK)
-    no_pad = _round_up(cap + 1)
-    nt_pad = min(no_pad, n_chunks * OUT_CHUNK)
+    # pad to the stage-B chunk (8 KB), not the coarse 256 KB quantum:
+    # callers here pass exact segment geometries, and a 1 MiB segment
+    # would otherwise round up 25% — inflating stage-B work AND the
+    # decoded-output transfer by the same factor
+    no_pad = -(-(cap + 1) // OUT_CHUNK) * OUT_CHUNK
+    nt_pad = -(-min(no_pad, n_chunks * OUT_CHUNK) // 1024) * 1024
     nbits, words = _stage_streams(streams)
     pallas_b = jax.default_backend() == "tpu" and not interpret
     # the XLA stage B needs sub-batches under its compile cliff; the
