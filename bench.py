@@ -178,7 +178,12 @@ def main():
         dt_f = min(dts_f)
         extra_fetch["encode_with_fetch_gbps"] = round(nbytes / dt_f / 1e9, 4)
 
-    extra = {"compression_ratio": round(ratio, 4),
+    # methodology marker (ADVICE r4): the headline is COMPUTE-ONLY
+    # (on-device checksum, best-of-N distinct-input reps) since round 4;
+    # earlier rounds' headline included the ~21 MB/s dev-link output
+    # shipping.  Consumers must not compare across methodology versions.
+    extra = {"methodology": "compute-only-v2",
+             "compression_ratio": round(ratio, 4),
              "corpus_mb": nbytes / 1e6,
              "ms_per_mb": round(dt / (nbytes / 1e6) * 1000, 2)}
     extra.update(extra_fetch)

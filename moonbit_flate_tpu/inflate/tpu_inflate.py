@@ -225,6 +225,11 @@ def decompress_segments(streams: list[bytes], out_sizes: list[int],
     segment geometry is known to callers — the multi-chip layer and the
     bench both shard fixed-size segments).
 
+    Behavior change (round 4): a stream whose actual decompressed size
+    exceeds its out_sizes entry now raises ValueError instead of
+    returning a full decode that happened to fit the global cap —
+    multi-chip callers must size out_sizes as true per-stream bounds.
+
     Sub-batched so each dispatch's flat [B*NO] stage-B working set
     stays under ~8 MB: the XLA TPU compiler hangs (>7 min,
     judge-observed and bisected this round) once the stage-B
