@@ -74,6 +74,7 @@ CLS_LIT = 0      # payload = literal byte
 CLS_LEN = 1      # payload = length-code index 0..28
 CLS_EOB = 2
 CLS_BAD = 3      # unused rank / invalid symbol
+MAPD = 120       # sublane-major map rows (15 chunks of 8)
 MAPW = LANE      # map plane lanes: lit/len ranks 0..285 at words
                  # 0..95 (3/word), dist ranks 0..31 at words 96..106,
                  # CL ranks 0..18 at words 107..113
@@ -230,18 +231,26 @@ def length_decode(lo, fc, base, max_bits):
     return ln, rank, done
 
 
-def map_lookup(map_ref, rank8):
-    """Rank -> packed 10-bit entry from the per-stream map plane.
+def map_lookup3(map3_ref, word8):
+    """Word -> packed map-plane word, per stream.
 
-    map_ref: (1024, 128) VMEM ref; entry q at word q // 3, bits
-    10*(q%3).  rank8: (8,128) word-rank*; callers pass the plane word
-    index (q // 3 + alphabet offset).  Returns the 32-bit plane word;
-    callers extract.
+    map3_ref: (MAPD, 8, 128) sublane-major plane [word, s, l]
+    (converted from the build layout once per build wave).  The read
+    is the queue_read pattern: one-hot over MAPD/8 chunks + a depth-8
+    sublane gather - no (1024,128)-scale index construction per step,
+    which dominated kernel A in the lane-major formulation.
     """
-    plane = map_ref[...]
-    idx = rows_from_state(rank8)
-    g = jnp.take_along_axis(plane, idx, axis=1)
-    return state_from_rows(g[:, 0:1])
+    sub = word8 >> 3
+    within = word8 & 7
+    res = jnp.zeros((SUB, LANE), jnp.int32)
+    for c in range(MAPD // 8):
+        blk = map3_ref[c * 8:(c + 1) * 8]
+        flat = blk.reshape(8, SUB * LANE)
+        iw = jnp.broadcast_to(within.reshape(1, SUB * LANE),
+                              (8, SUB * LANE))
+        g = jnp.take_along_axis(flat, iw, axis=0)[0:1]
+        res = jnp.where(sub == c, g.reshape(SUB, LANE), res)
+    return res
 
 
 def entry_extract(word8, rank8):
@@ -280,9 +289,14 @@ def _zeros8(dtype=_I32):
     return jnp.zeros((SUB, LANE), dtype)
 
 
+import os
+_ACUT = int(os.environ.get("MF_ACUT", "0"))
+
+
 def _make_kernel_a():
     def kernel(nbits_ref, inw_ref, tok_ref, misc_ref,
-               st_ref, fcb_ref, map_ref, q_ref, lens_ref, clmap_ref):
+               st_ref, fcb_ref, map_ref, q_ref, lens_ref, clmap_ref,
+               emit_ref, map3_ref):
         t = pl.program_id(1)
         nbits = nbits_ref[0]
 
@@ -352,16 +366,24 @@ def _make_kernel_a():
             in_huff = active & (blkmode == 1)
             in_stored = active & (blkmode == 2)
 
-            ln_l, rank_l, m_l = length_decode(lo, fcl, bal, 15)
-            ln_d, rank_d, m_d = length_decode(lo, fcd, bad, 15)
             isd = expd > 0
-            ln = jnp.where(isd, ln_d, ln_l)
-            rank = jnp.where(isd, rank_d, rank_l)
-            matched = (isd & m_d) | (~isd & m_l)
+            if _ACUT >= 2:   # profiling cut: fixed 8-bit decode
+                ln = jnp.full((SUB, LANE), 8, _I32)
+                rank = _i(lo & _U32(255))
+                matched = in_huff
+            else:
+                fc_sel = [jnp.where(isd, fcd[l], fcl[l]) for l in range(15)]
+                ba_sel = [jnp.where(isd, bad[l], bal[l]) for l in range(15)]
+                ln, rank, matched = length_decode(lo, fc_sel, ba_sel, 15)
 
             word_idx = jnp.where(isd, 96 + rank // 3, rank // 3)
-            wplane = map_lookup(map_ref, word_idx)
-            cls, payload = entry_extract(wplane, rank)
+            if _ACUT >= 1:   # profiling cut: fake map entry
+                wplane = word_idx * 1025
+                cls, payload = wplane & 3, wplane & 255
+                cls = jnp.where(rank < 255, CLS_LIT, CLS_EOB)
+            else:
+                wplane = map_lookup3(map3_ref, word_idx)
+                cls, payload = entry_extract(wplane, rank)
 
             is_lit = in_huff & ~isd & matched & (cls == CLS_LIT)
             is_len = in_huff & ~isd & matched & (cls == CLS_LEN)
@@ -403,7 +425,7 @@ def _make_kernel_a():
                 emit_lit, TOK_LIT | lit_b,
                 jnp.where(emit_match,
                           _TOK_MATCH_I | (plen << 13) | dist, 0))
-            tok_ref[0, 0, j] = tok
+            emit_ref[j] = tok
 
             do_adv = ok & ~dist_over & ~len_over & ~lit_over
             n_adv = jnp.where(do_adv, nused, 0)
@@ -700,6 +722,9 @@ def _make_kernel_a():
                 map_cond, map_body,
                 (jnp.int32(0), mapv, z15, z15))
             map_ref[...] = mapv
+            # sublane-major copy for the per-step lookup: [w, s, l]
+            map3_ref[...] = jnp.transpose(mapv).reshape(
+                LANE, SUB, LANE)[:MAPD]
 
             status = jnp.where(build & bad, ST_CORRUPT, status)
             done_b = build & ~bad
@@ -737,6 +762,16 @@ def _make_kernel_a():
 
         fcb = load_fcb()
 
+        # pre-zero emissions (rows past the early exit stay zero)
+        def zrow(j, c):
+            emit_ref[j] = jnp.zeros((SUB, LANE), _I32)
+            return c
+
+        jax.lax.fori_loop(0, 128, zrow, 0)
+
+        # 4 symbol steps per while iteration: the scalar any()/max()
+        # reductions and the requeue cond run once per group (4 steps
+        # consume at most 4 queue words, within the requeue margin)
         def loop_cond(c):
             j = c[0]
             status = c[2][0]
@@ -745,20 +780,14 @@ def _make_kernel_a():
         def loop_body(c):
             j, bits, sstate = c
             bits = maybe_requeue(bits)
-            bits, sstate = sym_step(j, bits, sstate, fcb)
-            return (j + 1, bits, sstate)
+            for k in range(4):
+                bits, sstate = sym_step(j + k, bits, sstate, fcb)
+            return (j + 4, bits, sstate)
 
         jend, bits, sstate = jax.lax.while_loop(
             loop_cond, loop_body, (jnp.int32(0), bits, sstate))
 
-        # zero the unwritten token rows (gap tail)
-        def ztail(j, c):
-            @pl.when(j >= jend)
-            def _():
-                tok_ref[0, 0, j] = jnp.zeros((SUB, LANE), _I32)
-            return c
-
-        jax.lax.fori_loop(0, 128, ztail, 0)
+        tok_ref[0, 0] = emit_ref[...]
 
         # last grid step: anything not finished is out of token rows
         @pl.when(t == TOK_CHUNKS - 1)
@@ -827,6 +856,8 @@ def parse_waves(nbits: jnp.ndarray, inw: jnp.ndarray, waves: int,
             pltpu.VMEM((QDEPTH, SUB, LANE), jnp.int32),
             pltpu.VMEM((320, SUB, LANE), jnp.int32),
             pltpu.VMEM((8, SUB, LANE), jnp.int32),
+            pltpu.VMEM((128, SUB, LANE), jnp.int32),
+            pltpu.VMEM((MAPD, SUB, LANE), jnp.int32),
         ],
     )
     tok, misc = pl.pallas_call(

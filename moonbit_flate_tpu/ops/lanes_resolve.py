@@ -45,7 +45,10 @@ _U32 = jnp.uint32
 GROUPS = 4                 # grid steps per wave: 512 output bytes each
 GWORDS = SEGB // GROUPS // 4   # 128 words per group
 BLOCKS = 4                 # 128-byte blocks per group
-QD = 128                   # token queue rows
+QD = 128                   # token queue rows: the fastest lane sets
+                           # the prefetch cadence, so shallower queues
+                           # re-gather the 19-chunk token plane too
+                           # often (QD=64 doubled BC's wave time)
 
 REC_LIT = 1 << 30
 REC_MATCH = np.int32(-(1 << 31))
@@ -81,7 +84,7 @@ def _make_kernel_bc():
             idx = jnp.clip(idx, 0, TOK_ROWS - 1)
             gth = chunked_gather_ref(tok_vmem, TOK_CHUNKS, idx)
             qt = jnp.transpose(gth).reshape(LANE, SUB, LANE)
-            q_ref[...] = qt
+            q_ref[...] = qt[:QD]
 
         def queue_read2(pos8):
             """Rows pos and pos+1 of the queue (one fused one-hot)."""
@@ -116,7 +119,8 @@ def _make_kernel_bc():
             live = p < outlen
             need = live & (rem == 0)
 
-            # mid-block queue top-up (rare; bounded by max qoff)
+            # mid-block queue top-up (live lanes only: a finished
+            # stream's frozen qoff must not drive the cadence)
             def topup(args):
                 tk, qoff = args
                 tk2 = tk + qoff
@@ -313,3 +317,50 @@ def inflate_waves(nbits: jnp.ndarray, inw: jnp.ndarray, waves: int,
         waves, TOK_CHUNKS, NSTR, LANE)
     out = resolve_waves(misc[:, 1], tok_lm, waves, interpret=interpret)
     return out, misc
+
+
+def decompress_shards(streams, out_sizes, interpret: bool = False):
+    """Decode B raw-DEFLATE shard streams (each decompressing to at
+    most SEGB bytes) on the lane path.  Returns list[bytes].
+
+    Streams whose decompressed size exceeds SEGB, or that exhaust the
+    lane kernel's capacities, raise ValueError - callers route those
+    through the scalar path (inflate/tpu_inflate.decompress_segments).
+    """
+    from ..utils.errors import CorruptInputError, UnexpectedEOFError
+    from .lanes_inflate import (IN_W, SEGB, ST_CORRUPT, ST_DONE,
+                                ST_OVERFLOW, ST_TRUNC,
+                                stage_streams_lanes)
+
+    if not streams:
+        return []
+    for i, (s, o) in enumerate(zip(streams, out_sizes)):
+        if o > SEGB:
+            raise ValueError(f"stream {i}: out_size {o} > shard cap {SEGB}")
+        if len(s) > IN_W * 4:
+            raise CorruptInputError(-1)
+    waves = -(-len(streams) // NSTR)
+    nbits, inw = stage_streams_lanes(streams, waves)
+    out, misc = inflate_waves(nbits, inw, waves, interpret=interpret)
+    out_h = np.asarray(out)
+    misc_h = np.asarray(misc)
+    res = []
+    for i in range(len(streams)):
+        w, r = divmod(i, NSTR)
+        st = int(misc_h[w, 0, r // LANE, r % LANE])
+        n = int(misc_h[w, 1, r // LANE, r % LANE])
+        if st == ST_TRUNC:
+            raise UnexpectedEOFError()
+        if st == ST_OVERFLOW:
+            raise ValueError(
+                f"stream {i}: exceeds lane-shard capacity (out_size cap "
+                f"{SEGB})")
+        if st != ST_DONE:
+            raise CorruptInputError(-1)
+        if n > out_sizes[i]:
+            raise ValueError(
+                f"stream {i}: decompressed size {n} exceeds caller bound "
+                f"{out_sizes[i]}")
+        words = out_h[w, :, i - w * NSTR, :].reshape(-1)
+        res.append(words.astype("<u4").tobytes()[:n])
+    return res
