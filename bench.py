@@ -210,58 +210,101 @@ def main():
         assert dec == corpus
         extra["decode_native_gbps"] = round(nbytes / dt_n / 1e9, 4)
 
-    # TPU path: batched Pallas stage A + data-parallel stage B.  The
-    # timed streams come from ZLIB (level 1, raw), not our encoder, so
-    # the decode record is independent of encode health (VERDICT r3
-    # weak #7).  The warm rep decodes the streams in rotated order so
-    # no dispatch is identical to the warmup.
+    # TPU decode headline: the LANE-PARALLEL inflate (round 5) on a
+    # 64 MiB corpus of 2 KiB shard streams — the geometry the
+    # framework's own sharded/manifest format produces (SURVEY §7.6:
+    # throughput comes from many independent streams).  Streams come
+    # from ZLIB (level 1, raw), not our encoder, so the record is
+    # independent of encode health.  Reps use distinct inputs (the
+    # dev link memoizes identical dispatches).
     if not SMOKE:
+        try:
+            import jax.numpy as _jnp
+
+            from moonbit_flate_tpu.ops import lanes_inflate as LI
+            from moonbit_flate_tpu.ops import lanes_resolve as LR
+
+            DEC_WAVES = 64
+            n_sh = DEC_WAVES * 1024
+            dcorpus = make_corpus(total=n_sh * LI.SEGB, seed=0)
+            shards = [dcorpus[i * LI.SEGB:(i + 1) * LI.SEGB]
+                      for i in range(n_sh)]
+            zstreams = [zlib.compress(s, 1)[2:-4] for s in shards]
+            dbytes = n_sh * LI.SEGB
+
+            # compute-only headline (encode-headline convention:
+            # decoded bytes checksummed on device, not shipped), with
+            # FULL-corpus correctness via the checksum: the wrapping
+            # int32 word sum of the decode must equal the host-side
+            # sum of the expected corpus (all shards are exactly SEGB,
+            # so the word layout has no partial-word padding)
+            @jax.jit
+            def dec_compute(nb_d, iw_d):
+                out, misc = LR.inflate_waves(nb_d, iw_d, DEC_WAVES)
+                return jnp.sum(out), jnp.sum(misc)
+
+            nb_d, iw_d = LI.stage_streams_lanes(zstreams, DEC_WAVES)
+            nb_d, iw_d = jnp.asarray(nb_d), jnp.asarray(iw_d)
+            s_out, _ = dec_compute(nb_d, iw_d)  # warm
+            expect = int(np.frombuffer(dcorpus, "<i4")
+                         .astype(np.int32).sum(dtype=np.int32))
+            assert int(np.asarray(s_out)) == expect, \
+                "lane decode checksum mismatch vs corpus"
+            _, misc_d = LR.inflate_waves(nb_d, iw_d, DEC_WAVES)
+            st_d = np.asarray(misc_d[:, 0]).reshape(-1)
+            assert (st_d == 1).all(), "lane decode statuses not all done"
+            dts_d = []
+            for r in range(3):
+                iw2 = iw_d.at[0, LI.IN_CHUNKS - 1, 0, 127].set(r + 9)
+                t0 = time.time()
+                jax.block_until_ready(dec_compute(nb_d, iw2))
+                dts_d.append(time.time() - t0)
+            extra["decode_tpu_compute_gbps"] = round(
+                dbytes / min(dts_d) / 1e9, 4)
+            extra["decode_shards"] = {"n": n_sh, "shard_bytes": LI.SEGB,
+                                      "mb": dbytes / 1e6}
+
+            # end-to-end on a subset (includes shipping decoded bytes
+            # through the ~21 MB/s dev link — PROFILE_r5 isolates that
+            # tax; production chips keep decoded bytes in HBM)
+            n_e2e = 4 * 1024
+            LR.decompress_shards(zstreams[:n_e2e],
+                                 [LI.SEGB] * n_e2e)   # warm (compile)
+            t0 = time.time()
+            outs_dec = LR.decompress_shards(zstreams[n_e2e:2 * n_e2e],
+                                            [LI.SEGB] * n_e2e)
+            dt_d = time.time() - t0
+            assert b"".join(outs_dec) == dcorpus[
+                n_e2e * LI.SEGB: 2 * n_e2e * LI.SEGB]
+            extra["decode_tpu_gbps"] = round(
+                n_e2e * LI.SEGB / dt_d / 1e9, 4)
+        except Exception as e:  # pragma: no cover - report, don't mask
+            extra["decode_tpu_error"] = repr(e)[:200]
+
+        # the scalar (non-sharded) decode path still serves monolithic
+        # streams; record it at 8 MiB so regressions stay visible
         try:
             from moonbit_flate_tpu.inflate.tpu_inflate import \
                 decompress_segments
 
-            zsegs = [corpus[i * seg:(i + 1) * seg] for i in range(n_segs)]
-            zstreams = [zlib.compress(s, 1)[2:-4] for s in zsegs]
-            outs_dec = decompress_segments(zstreams, [seg] * n_segs)
-            assert b"".join(outs_dec) == corpus
-            rot = list(range(1, n_segs)) + [0]
+            nseg_s = 8
+            zsegs = [corpus[i * seg:(i + 1) * seg] for i in range(nseg_s)]
+            zstr_s = [zlib.compress(s, 1)[2:-4] for s in zsegs]
+            outs_s = decompress_segments(zstr_s, [seg] * nseg_s)
+            assert b"".join(outs_s) == b"".join(zsegs)
+            rot = list(range(1, nseg_s)) + [0]
             t0 = time.time()
-            outs_dec = decompress_segments([zstreams[i] for i in rot],
-                                           [seg] * n_segs)
-            dt_d = time.time() - t0
-            assert b"".join(outs_dec) == b"".join(zsegs[i] for i in rot)
-            extra["decode_tpu_gbps"] = round(nbytes / dt_d / 1e9, 4)
-
-            # compute-only decode (same convention as the encode
-            # headline: all work happens on device, the decoded bytes
-            # are checksummed instead of shipped through the link)
-            from moonbit_flate_tpu.inflate.tpu_inflate import _parse_resolve
-            from moonbit_flate_tpu.ops.parse_pallas import (OUT_CHUNK,
-                                                            _stage_streams)
-            from moonbit_flate_tpu.ops.pipeline import _cksum as _ck
-
-            n_chunks_d = -(-(seg + 1) // OUT_CHUNK)
-            no_pad_d = ((seg + 1 + (1 << 18) - 1) // (1 << 18)) * (1 << 18)
-            nt_pad_d = min(no_pad_d, n_chunks_d * OUT_CHUNK)
-
-            @jax.jit
-            def dec_compute(nb_d, w_d):
-                out, cnt = _parse_resolve(nb_d, w_d, n_chunks_d, nt_pad_d,
-                                          no_pad_d, False, True)
-                return _ck(out, cnt)
-
-            nb_d, w_d = _stage_streams(zstreams)
-            np.asarray(dec_compute(nb_d, w_d))  # warm
-            nb_r, w_r = _stage_streams([zstreams[i] for i in rot])
-            t0 = time.time()
-            np.asarray(dec_compute(nb_r, w_r))
-            dt_dc = time.time() - t0
-            extra["decode_tpu_compute_gbps"] = round(nbytes / dt_dc / 1e9, 4)
-            # our own streams must round-trip on-device too
-            outs_own = decompress_segments(outs, [seg] * n_segs)
-            assert b"".join(outs_own) == corpus
-        except Exception as e:  # pragma: no cover - report, don't mask
-            extra["decode_tpu_error"] = repr(e)[:200]
+            outs_s = decompress_segments([zstr_s[i] for i in rot],
+                                         [seg] * nseg_s)
+            dt_s = time.time() - t0
+            extra["decode_scalar_path_gbps"] = round(
+                nseg_s * seg / dt_s / 1e9, 4)
+            # our own encoder's streams round-trip on-device (scalar
+            # path: encode emits 1 MiB segments)
+            outs_own = decompress_segments(outs[:nseg_s], [seg] * nseg_s)
+            assert b"".join(outs_own) == corpus[: nseg_s * seg]
+        except Exception as e:  # pragma: no cover
+            extra["decode_scalar_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": "encode_throughput_silesia_like",

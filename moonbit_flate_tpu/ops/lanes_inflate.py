@@ -875,17 +875,17 @@ def parse_waves(nbits: jnp.ndarray, inw: jnp.ndarray, waves: int,
 
 def stage_streams_lanes(streams: list[bytes], waves: int):
     """Host staging: pad B streams into (nbits, inw) for parse_waves."""
-    nbits = np.zeros((waves, SUB, LANE), np.int32)
-    inw = np.zeros((waves, IN_CHUNKS, NSTR, LANE), np.uint32)
+    B = waves * NSTR
+    nbits = np.zeros(B, np.int32)
+    words = np.zeros((B, IN_W), np.uint32)
     for i, s in enumerate(streams):
-        w, r = divmod(i, NSTR)
         s = bytes(s)
-        nbits[w, r // LANE, r % LANE] = len(s) * 8
+        nbits[i] = len(s) * 8
         padded = s + b"\x00" * ((-len(s)) % 4)
-        words = np.frombuffer(padded, "<u4")
-        assert len(words) <= IN_W, (len(s), IN_W)
-        for c in range(IN_CHUNKS):
-            seg = words[c * LANE:(c + 1) * LANE]
-            inw[w, c, r, :len(seg)] = seg
-    return (jnp.asarray(nbits),
+        wl = np.frombuffer(padded, "<u4")
+        assert len(wl) <= IN_W, (len(s), IN_W)
+        words[i, : len(wl)] = wl
+    inw = np.ascontiguousarray(
+        words.reshape(waves, NSTR, IN_CHUNKS, LANE).transpose(0, 2, 1, 3))
+    return (jnp.asarray(nbits.reshape(waves, SUB, LANE)),
             jnp.asarray(inw.view(np.int32)))

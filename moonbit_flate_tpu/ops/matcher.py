@@ -136,7 +136,11 @@ def _nearest_prev_windowed(u32e: jnp.ndarray, S: int):
     payload (a 16-bit hash<<16|pos fused key was tried and REVERTED:
     hash collisions on incompressible data produce candidates the
     walk must reject one serial position at a time — 15% slower end to
-    end on the bench corpus, plus ratio risk).  Sort 2 is fused into a
+    end on the bench corpus, plus ratio risk).  Round 5 re-measured
+    narrower sort operands on-chip (tools/probe_sort.py): u16 hash key
+    + u16 payload runs 4.3x SLOWER and a fused u32 hash<<16|pos16 7.3x
+    SLOWER than this exact-u32+u16 form — XLA's TPU sort lowers
+    sub-32-bit keys poorly, so operand-narrowing is a dead end here.  Sort 2 is fused into a
     SINGLE u32 operand: in-window positions and candidates both fit 16
     bits, so (pos << 16 | cand) routes candidates back to position
     order with half the traffic of a key+payload pair — 3 sorted

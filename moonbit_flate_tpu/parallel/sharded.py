@@ -144,6 +144,11 @@ class ShardedCompressor:
         return self._step_full
 
     def compress(self, data: bytes, dictionary: bytes | None = None) -> bytes:
+        """Pre-sharded, device-resident wave loop (VERDICT r4 weak #6):
+        the whole input is staged into per-wave batches in ONE host
+        pass and ONE upload; each wave then runs on device-resident
+        slices, so the loop never rebuilds [D, seg] host arrays while
+        the chips wait.  Only the compressed bytes return per wave."""
         data = bytes(data)
         D = self.n_dev
         context = bytes(dictionary or b"")[-C.WINDOW_SIZE:]
@@ -152,31 +157,37 @@ class ShardedCompressor:
         )
         if payload_cap <= 0:
             raise ValueError("segment too small for context")
-        out: list[bytes] = []
         wave = D * payload_cap
-        for wstart in range(0, max(len(data), 1), wave):
-            batch = np.zeros((D, self.seg + PAD), np.uint8)
-            ns = np.zeros(D, np.int32)
-            cs = np.zeros(D, np.int32)
+        W = max(1, -(-len(data) // wave))
+
+        batches = np.zeros((W, D, self.seg + PAD), np.uint8)
+        ns = np.zeros((W, D), np.int32)
+        cs = np.zeros((W, D), np.int32)
+        for w in range(W):
             for d in range(D):
-                start = wstart + d * payload_cap
+                start = w * wave + d * payload_cap
                 part = data[start : start + payload_cap]
                 if self.halo:
                     ctxd = data[max(0, start - C.WINDOW_SIZE) : start]
-                    if wstart == 0 and d == 0:
+                    if w == 0 and d == 0:
                         ctxd = context
-                elif wstart == 0 and d == 0:
+                elif w == 0 and d == 0:
                     ctxd = context
                 else:
                     ctxd = b""
-                cs[d] = len(ctxd)
-                ns[d] = len(ctxd) + len(part)
-                if ctxd:
-                    batch[d, : len(ctxd)] = np.frombuffer(ctxd, np.uint8)
-                if part:
-                    batch[d, len(ctxd) : ns[d]] = np.frombuffer(part, np.uint8)
+                cs[w, d] = len(ctxd)
+                ns[w, d] = len(ctxd) + len(part)
+                blob = ctxd + part
+                if blob:
+                    batches[w, d, : len(blob)] = np.frombuffer(blob, np.uint8)
+        batches_dev = jnp.asarray(batches)
+        ns_dev = jnp.asarray(ns)
+        cs_dev = jnp.asarray(cs)
+
+        out: list[bytes] = []
+        for w in range(W):
             stream, sizes, total = self._step(
-                jnp.asarray(batch), jnp.asarray(ns), jnp.asarray(cs)
+                batches_dev[w], ns_dev[w], cs_dev[w]
             )
             if self.word_cap is not None and (
                 np.asarray(sizes) > 4 * self.word_cap - 4
@@ -185,7 +196,7 @@ class ShardedCompressor:
                 # data): redo this wave with the worst-case cap — sizes
                 # are exact either way, only gathered words truncate
                 stream, sizes, total = self._full_step()(
-                    jnp.asarray(batch), jnp.asarray(ns), jnp.asarray(cs)
+                    batches_dev[w], ns_dev[w], cs_dev[w]
                 )
             out.append(np.asarray(stream).view("<u4").tobytes()[: int(total)])
         out.append(FINAL_EMPTY_BLOCK)
@@ -277,14 +288,27 @@ def compress_with_manifest(data: bytes, mesh: Mesh | None = None,
 
 def decompress_with_manifest(stream: bytes, manifest: ShardManifest,
                              interpret: bool = False) -> bytes:
-    """Shard-parallel decode driven by the manifest: one batched Pallas
-    stage-A dispatch over all shards + data-parallel stage B."""
+    """Shard-parallel decode driven by the manifest.
+
+    Shards at or under the lane-inflate cap decode on the round-5
+    lane-parallel path (1024 streams in VPU lanes,
+    ops/lanes_resolve.decompress_shards); larger shards fall back to
+    the scalar-core parser batch (inflate/tpu_inflate)."""
     from ..inflate.tpu_inflate import decompress_segments
 
     body = stream[: sum(manifest.comp_sizes)]
     parts = manifest.segments(body)
     if not parts:
         return b""
-    outs = decompress_segments(parts, manifest.payload_sizes,
-                               interpret=interpret)
+    from ..ops.lanes_inflate import IN_W, SEGB
+
+    if (max(manifest.payload_sizes) <= SEGB
+            and max(len(p) for p in parts) <= IN_W * 4):
+        from ..ops.lanes_resolve import decompress_shards
+
+        outs = decompress_shards(parts, manifest.payload_sizes,
+                                 interpret=interpret)
+    else:
+        outs = decompress_segments(parts, manifest.payload_sizes,
+                                   interpret=interpret)
     return b"".join(outs)

@@ -89,3 +89,29 @@ def test_error_statuses_interpret():
     assert misc[0, 0, 0, 0] == L.ST_TRUNC
     assert misc[0, 0, 0, 1] == L.ST_CORRUPT
     assert misc[0, 0, 0, 2] == L.ST_DONE
+
+
+def test_manifest_routes_small_shards_to_lane_path(monkeypatch):
+    """decompress_with_manifest routes shard payloads <= SEGB through
+    the lane decoder (and still round-trips byte-exactly)."""
+    import jax
+
+    from moonbit_flate_tpu.parallel import sharded as sh
+
+    mesh = sh.make_mesh(jax.devices("cpu")[:2])
+    payload = (b"lane manifest shard | " * 80)[:1500]
+    stream, man = sh.compress_with_manifest(payload, mesh,
+                                            blocks_per_segment=1)
+    called = {}
+    import moonbit_flate_tpu.ops.lanes_resolve as lr
+
+    orig = lr.decompress_shards
+
+    def spy(parts, sizes, interpret=False):
+        called["lane"] = True
+        return orig(parts, sizes, interpret=interpret)
+
+    monkeypatch.setattr(lr, "decompress_shards", spy)
+    got = sh.decompress_with_manifest(stream, man, interpret=True)
+    assert got == payload
+    assert called.get("lane"), "small shards did not take the lane path"

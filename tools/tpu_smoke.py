@@ -106,6 +106,24 @@ def main() -> int:
     assert outs[0] == payload, "on-device decode mismatch"
     print("parse_batch + stage-B decode: ok")
 
+    # ---- kernels 5+6: lane-parallel inflate (round-5 decode path) --------
+    from moonbit_flate_tpu.ops import lanes_inflate as LI
+    from moonbit_flate_tpu.ops import lanes_resolve as LR
+
+    shard_cases = [
+        zlib.compress(b"lane " * 200, 1)[2:-4],          # dynamic
+        zlib.compress(rng.integers(0, 256, 600, np.uint8).tobytes(),
+                      0)[2:-4],                          # stored
+        zlib.compress(b"A" * LI.SEGB, 1)[2:-4],          # RLE full shard
+    ]
+    wants = [b"lane " * 200,
+             None,  # filled below
+             b"A" * LI.SEGB]
+    wants[1] = zlib.decompress(shard_cases[1], wbits=-15)
+    outs_l = LR.decompress_shards(shard_cases, [LI.SEGB] * 3)
+    assert outs_l == wants, "lane inflate mismatch"
+    print("lanes_inflate + lanes_resolve: ok")
+
     print(f"check-tpu: ALL OK in {time.time() - t_all:.1f}s")
     return 0
 
