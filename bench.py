@@ -224,7 +224,7 @@ def main():
             from moonbit_flate_tpu.ops import lanes_inflate as LI
             from moonbit_flate_tpu.ops import lanes_resolve as LR
 
-            DEC_WAVES = 64
+            DEC_WAVES = 32
             n_sh = DEC_WAVES * 1024
             dcorpus = make_corpus(total=n_sh * LI.SEGB, seed=0)
             shards = [dcorpus[i * LI.SEGB:(i + 1) * LI.SEGB]

@@ -50,12 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 SUB, LANE = 8, 128
 NSTR = SUB * LANE          # streams per wave
 
-SEGB = 2048                # max output bytes per stream (shard size)
-TOK_ROWS = 19 * 128        # step-major token rows (2048 emissions +
-                           # match-gap rows bounded by 2048 - matches,
+SEGB = 4096                # max output bytes per stream (shard size)
+TOK_ROWS = 35 * 128        # step-major token rows (SEGB emissions +
+                           # match-gap rows bounded by SEGB - matches,
                            # plus pause-gap slack; see module docstring)
-IN_W = 640                 # input words per stream (5 gather chunks;
-                           # worst case stored: 2064 B = 516 words)
+IN_W = 1152                # input words per stream (9 gather chunks;
+                           # worst case stored: ~4112 B = 1028 words)
 IN_CHUNKS = IN_W // LANE
 
 # token records (i32)
@@ -863,6 +863,8 @@ def parse_waves(nbits: jnp.ndarray, inw: jnp.ndarray, waves: int,
     tok, misc = pl.pallas_call(
         _make_kernel_a(),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=[
             jax.ShapeDtypeStruct((waves, TOK_CHUNKS, 128, SUB, LANE),
                                  jnp.int32),

@@ -36,13 +36,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lanes_inflate import (LANE, NSTR, SEGB, SUB, TOK_CHUNKS, TOK_ROWS,
+from .lanes_inflate import (LANE, NSTR, SEGB, SUB,  # noqa: F401
+                            TOK_CHUNKS, TOK_ROWS,
                             chunked_gather_ref, rows_from_state)
 
 _I32 = jnp.int32
 _U32 = jnp.uint32
 
-GROUPS = 4                 # grid steps per wave: 512 output bytes each
+GROUPS = SEGB // 512       # grid steps per wave: 512 output bytes each
 GWORDS = SEGB // GROUPS // 4   # 128 words per group
 BLOCKS = 4                 # 128-byte blocks per group
 QD = 128                   # token queue rows: the fastest lane sets
@@ -115,7 +116,7 @@ def _make_kernel_bc():
         def byte_step(j, carry, b):
             """One output byte for every stream (position p uniform)."""
             tk, qoff, rem, dist = carry
-            p = (g * GROUPS + b) * 128 + j
+            p = (g * BLOCKS + b) * 128 + j
             live = p < outlen
             need = live & (rem == 0)
 
@@ -214,7 +215,7 @@ def _make_kernel_bc():
             lit_k = jnp.where(rec_k > 0, rec_k & 255, 0)
             k_is_m = rec_k < 0
 
-            p0 = (g * GROUPS + b) * 128
+            p0 = (g * BLOCKS + b) * 128
             src_abs = p0 + m - dist_k                 # < p0 by chase
             w = src_abs >> 2
             wl = w & (LANE - 1)
