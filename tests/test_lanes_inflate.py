@@ -115,3 +115,51 @@ def test_manifest_routes_small_shards_to_lane_path(monkeypatch):
     got = sh.decompress_with_manifest(stream, man, interpret=True)
     assert got == payload
     assert called.get("lane"), "small shards did not take the lane path"
+
+
+def test_lane_fuzz_statuses_interpret():
+    """Mutated shard streams must never crash the lane kernels or
+    produce a false DONE with wrong bytes: each mutant either decodes
+    to whatever zlib's permissive partial decode accepts (flips in
+    literal data are legal streams) or lands on a -3/-4/-5 status.
+    One wave, 24 mutants of 3 base streams."""
+    rng = np.random.default_rng(11)
+    bases = [
+        zlib.compress((b"fuzz seed payload " * 60)[:1024], 1)[2:-4],
+        zlib.compress(rng.integers(0, 256, 800, np.uint8).tobytes(),
+                      1)[2:-4],
+        zlib.compress(b"r" * 1500, 1)[2:-4],
+    ]
+    streams, wants = [], []
+    for k in range(24):
+        b = bytearray(bases[k % 3])
+        pos = int(rng.integers(0, len(b)))
+        b[pos] ^= int(rng.integers(1, 256))
+        mb = bytes(b)
+        streams.append(mb)
+        d = zlib.decompressobj(-15)
+        try:
+            out = d.decompress(mb, L.SEGB)
+            ok = d.eof or len(out) == L.SEGB
+            wants.append(out if ok else None)
+        except zlib.error:
+            wants.append(None)
+
+    nbits, inw = L.stage_streams_lanes(streams, 1)
+    out, misc = R.inflate_waves(nbits, inw, 1, interpret=True)
+    out_h, misc_h = np.asarray(out), np.asarray(misc)
+    for i, want in enumerate(wants):
+        s, l = i // 128, i % 128
+        st = int(misc_h[0, 0, s, l])
+        n = int(misc_h[0, 1, s, l])
+        if st == L.ST_DONE and want is not None:
+            got = out_h[0, :, i, :].reshape(-1).astype(
+                "<u4").tobytes()[:n]
+            assert got == want[:n] and n == len(want), i
+        else:
+            # error statuses only; zlib-undecodable streams must not
+            # report clean completion
+            assert st in (L.ST_DONE, L.ST_TRUNC, L.ST_CORRUPT,
+                          L.ST_OVERFLOW), (i, st)
+            if want is None:
+                assert st != L.ST_DONE, (i, "false DONE on bad stream")
