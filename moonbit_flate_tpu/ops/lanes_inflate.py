@@ -484,6 +484,12 @@ def _make_kernel_a():
             (status, blkmode, sleft, final, opos, expd, plen) = sstate
             paused = status == ST_PAUSED
 
+            # the header + CL-lens reads consume up to ~3 words before
+            # the lens loop's first requeue check; entering with qpos
+            # near the threshold would leave only one word of margin,
+            # so start every build wave from a fresh queue window
+            bits = maybe_requeue(bits, force=True)
+
             lo, hi, cnt, wbase, qpos = bits
             bp = bitpos_of(wbase, qpos, cnt)
             eof = paused & (bp + 3 > nbits)
